@@ -1,0 +1,242 @@
+"""CLIP dual encoder with the COSMOS cross-modality heads.
+
+Parity targets (/root/reference/src/open_clip/model.py:240-437):
+  - CLIP: vision tower + text tower, learnable logit_scale (init ln(1/0.07))
+    and, with ``cosmos=True``, a separate distill_logit_scale (:274).
+  - ``output_all`` adds image_token_mapping / text_token_mapping Linear
+    (width -> embed_dim) heads (:281-287).
+  - The COSMOS forward (:348-408):
+      * student runs on ALL crops (2 global @224 + n local @96) and all k
+        sampled captions;
+      * cross-modal features: for every image view i,
+          img_crossmodal[i] = normalize(img_feat[i] +
+              text_pooler(kv=txt_tokens_of_first_global_caption, q=img_feat[i]))
+        and symmetrically for text views against the first global crop's
+        patch tokens;
+      * the pooled features are normalized only AFTER the cross-modal
+        residual addition (queries and residuals use unnormalized feats).
+  - MultiCropWrap (:412-437) resolution grouping: here the two resolution
+    groups are two static-shaped arrays, so a single jit traces the vision
+    tower exactly twice (224 and 96) rather than looping Python lists.
+
+Feature layout: views-major everywhere — an array of V views of batch B is
+``[V*B, ...]`` with view v occupying rows [v*B, (v+1)*B), matching the
+reference's ``torch.cat`` of per-view tensors and its ``.chunk(V)`` in the
+train loop (train.py:173-184).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import CLIPCfg
+from .layers import get_act_fn, l2_normalize
+from .text import TextTransformer
+from .vit import VisionTransformer
+
+Dtype = Any
+
+
+def _logit_scale_init(value: float):
+    return lambda key, shape, dtype: jnp.full(shape, value, dtype)
+
+
+class CLIP(nn.Module):
+    cfg: CLIPCfg
+    cosmos: bool = False
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+    use_flash: bool = False
+
+    def setup(self):
+        c = self.cfg
+        v, t = c.vision_cfg, c.text_cfg
+        act = get_act_fn("quick_gelu" if c.quick_gelu else "gelu")
+        self.visual = VisionTransformer(
+            image_size=v.image_size,
+            patch_size=v.patch_size,
+            width=v.width,
+            layers=v.layers,
+            num_heads=v.heads,
+            mlp_ratio=v.mlp_ratio,
+            output_dim=c.embed_dim,
+            ls_init_value=v.ls_init_value,
+            patch_dropout_prob=v.patch_dropout,
+            no_ln_pre=v.no_ln_pre,
+            pos_embed_type=v.pos_embed_type,
+            pool_type=v.pool_type,
+            final_ln_after_pool=v.final_ln_after_pool,
+            attentional_pool=v.attentional_pool,
+            attn_pooler_heads=v.attn_pooler_heads,
+            add_zero_attn=v.add_zero_attn,
+            act_fn=act,
+            dtype=self.dtype,
+            remat=self.remat,
+            use_flash=self.use_flash,
+            name="visual",
+        )
+        self.text = TextTransformer(
+            context_length=t.context_length,
+            vocab_size=t.vocab_size,
+            width=t.width,
+            num_heads=t.heads,
+            layers=t.layers,
+            mlp_ratio=t.mlp_ratio,
+            output_dim=c.embed_dim,
+            ls_init_value=t.ls_init_value,
+            no_causal_mask=t.no_causal_mask,
+            pool_type=t.pool_type,
+            proj_bias=t.proj_bias,
+            embed_cls=t.embed_cls,
+            pad_id=t.pad_id,
+            attentional_pool=t.attentional_pool,
+            attn_pooler_heads=t.attn_pooler_heads,
+            add_zero_attn=t.add_zero_attn,
+            act_fn=act,
+            dtype=self.dtype,
+            remat=self.remat,
+            use_flash=self.use_flash,
+            name="text",
+        )
+        self.logit_scale = self.param(
+            "logit_scale", _logit_scale_init(c.init_logit_scale), (), jnp.float32
+        )
+        if self.cosmos:
+            self.distill_logit_scale = self.param(
+                "distill_logit_scale",
+                _logit_scale_init(c.init_logit_scale),
+                (),
+                jnp.float32,
+            )
+        else:
+            self.distill_logit_scale = None
+        if c.init_logit_bias is not None:
+            self.logit_bias = self.param(
+                "logit_bias", _logit_scale_init(c.init_logit_bias), (), jnp.float32
+            )
+        else:
+            self.logit_bias = None
+        self.output_all = v.output_all
+        if self.output_all:
+            assert v.output_all == t.output_all
+            self.image_token_mapping = nn.Dense(
+                c.embed_dim, dtype=self.dtype, name="image_token_mapping"
+            )
+            self.text_token_mapping = nn.Dense(
+                c.embed_dim, dtype=self.dtype, name="text_token_mapping"
+            )
+
+    # --- encoders (inference surface, model.py:303-339) -------------------
+
+    def encode_image(
+        self, images: jax.Array, normalize: bool = False, csa: bool = False
+    ) -> Dict[str, jax.Array]:
+        pooled, tokens = self.visual(images, csa=csa)
+        out = {"image_features": l2_normalize(pooled) if normalize else pooled}
+        if self.output_all:
+            out["image_tokens"] = self.image_token_mapping(tokens)
+        else:
+            out["image_tokens_raw"] = tokens
+        return out
+
+    def encode_text(
+        self, text: jax.Array, normalize: bool = False
+    ) -> Dict[str, jax.Array]:
+        pooled, tokens = self.text(text)
+        out = {"text_features": l2_normalize(pooled) if normalize else pooled}
+        if self.output_all:
+            out["text_tokens"] = self.text_token_mapping(tokens)
+        return out
+
+    def get_logits(self, images: jax.Array, text: jax.Array):
+        img = self.encode_image(images, normalize=True)["image_features"]
+        txt = self.encode_text(text, normalize=True)["text_features"]
+        logits_per_image = jnp.exp(self.logit_scale) * img @ txt.T
+        if self.logit_bias is not None:
+            logits_per_image = logits_per_image + self.logit_bias
+        return logits_per_image, logits_per_image.T
+
+    # --- full forward ------------------------------------------------------
+
+    def __call__(
+        self,
+        global_images: Optional[jax.Array] = None,   # [2B, H, W, 3] views-major
+        texts: Optional[jax.Array] = None,           # [kB, 77] views-major
+        local_images: Optional[jax.Array] = None,    # [nB, h, w, 3] or None
+        batch_size: Optional[int] = None,
+    ) -> Dict[str, jax.Array]:
+        """COSMOS training forward (model.py:348-408).
+
+        With batch_size=None this acts like the teacher/eval forward:
+        features are normalized and no cross-modal heads run.
+        """
+        out: Dict[str, jax.Array] = {"logit_scale": jnp.exp(self.logit_scale)}
+        if self.distill_logit_scale is not None:
+            out["distill_logit_scale"] = jnp.exp(self.distill_logit_scale)
+        if self.logit_bias is not None:
+            out["logit_bias"] = self.logit_bias
+
+        is_norm = not (self.output_all and batch_size is not None)
+
+        img_features = img_tokens = None
+        if global_images is not None:
+            g_pooled, g_tokens = self.visual(global_images)
+            feats = [g_pooled]
+            if local_images is not None and local_images.size:
+                l_pooled, _ = self.visual(local_images)
+                feats.append(l_pooled)
+            img_features = jnp.concatenate(feats, axis=0)
+            if self.output_all:
+                # only global-crop tokens are kept (MultiCropWrap keeps the
+                # first resolution group's tokens, model.py:430-431)
+                img_tokens = self.image_token_mapping(g_tokens)
+            if is_norm:
+                img_features = l2_normalize(img_features)
+
+        txt_features = txt_tokens = None
+        if texts is not None:
+            txt_features, t_tokens = self.text(texts)
+            if self.output_all:
+                txt_tokens = self.text_token_mapping(t_tokens)
+            if is_norm:
+                txt_features = l2_normalize(txt_features)
+
+        run_crossmodal = (
+            batch_size is not None
+            and self.output_all
+            and self.visual.attn_cross_pool is not None
+        )
+        if run_crossmodal:
+            assert img_features is not None and txt_features is not None
+            b = batch_size
+            img_num = img_features.shape[0] // b
+            txt_num = txt_features.shape[0] // b
+
+            # kv contexts: first global crop's patch tokens / first global
+            # caption's tokens, tiled views-major (torch .repeat(V,1,1)).
+            txt_ctx = jnp.tile(txt_tokens[:b], (img_num, 1, 1))
+            img_ctx = jnp.tile(img_tokens[:b], (txt_num, 1, 1))
+
+            txt_pooled = self.text.attn_cross_pool(txt_ctx, img_features[:, None, :])
+            img_crossmodal = l2_normalize(img_features + txt_pooled[:, 0, :])
+
+            img_pooled = self.visual.attn_cross_pool(img_ctx, txt_features[:, None, :])
+            txt_crossmodal = l2_normalize(txt_features + img_pooled[:, 0, :])
+
+            out["img_crossmodal_features"] = img_crossmodal
+            out["txt_crossmodal_features"] = txt_crossmodal
+            img_features = l2_normalize(img_features)
+            txt_features = l2_normalize(txt_features)
+
+        out["image_features"] = img_features
+        out["text_features"] = txt_features
+        if img_tokens is not None:
+            out["image_tokens"] = img_tokens
+        if txt_tokens is not None:
+            out["text_tokens"] = txt_tokens
+        return out

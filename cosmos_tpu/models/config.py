@@ -1,0 +1,146 @@
+"""Model architecture configs.
+
+Mirrors the reference's JSON config registry
+(/root/reference/src/open_clip/factory.py:34-56 scans model_configs/*.json
+into _MODEL_CONFIGS; dataclasses CLIPVisionCfg/CLIPTextCfg in model.py:58-135).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+_CONFIG_DIR = Path(__file__).parent / "configs"
+
+
+@dataclasses.dataclass
+class VisionCfg:
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    head_width: int = 64
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    patch_dropout: float = 0.0
+    attentional_pool: bool = False
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
+    add_zero_attn: bool = False
+    no_ln_pre: bool = False
+    pos_embed_type: str = "learnable"
+    final_ln_after_pool: bool = False
+    pool_type: str = "tok"
+    output_all: bool = False
+
+    @property
+    def heads(self) -> int:
+        return self.width // self.head_width
+
+
+@dataclasses.dataclass
+class TextCfg:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    attentional_pool: bool = False
+    attn_pooler_heads: int = 8
+    add_zero_attn: bool = False
+    embed_cls: bool = False
+    pad_id: int = 0
+    no_causal_mask: bool = False
+    final_ln_after_pool: bool = False
+    pool_type: str = "argmax"
+    proj_bias: bool = False
+    output_all: bool = False
+
+
+@dataclasses.dataclass
+class MultimodalCfg:
+    """CoCa multimodal text decoder config (reference coca_model.py:38-50)."""
+    context_length: int = 76
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    attn_pooler_heads: int = 8
+
+
+@dataclasses.dataclass
+class CLIPCfg:
+    embed_dim: int = 512
+    vision_cfg: VisionCfg = dataclasses.field(default_factory=VisionCfg)
+    text_cfg: TextCfg = dataclasses.field(default_factory=TextCfg)
+    multimodal_cfg: Optional[MultimodalCfg] = None
+    quick_gelu: bool = False
+    init_logit_scale: float = 2.6592600175  # ln(1/0.07)
+    init_logit_bias: Optional[float] = None
+    custom_text: bool = False
+
+
+def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+def list_models() -> list:
+    return sorted(p.stem for p in _CONFIG_DIR.glob("*.json"))
+
+
+def get_model_config(name: str) -> Optional[Dict[str, Any]]:
+    path = _CONFIG_DIR / f"{name.replace('/', '-')}.json"
+    if not path.exists():
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def build_clip_cfg(
+    model_name: str,
+    overrides: Optional[Dict[str, Any]] = None,
+) -> CLIPCfg:
+    """Load a named JSON config and apply runtime overrides.
+
+    Mirrors factory.py:246-289 where argparse flags (--attentional-pool,
+    --add-zero-attn, --output-all, ...) are merged into the config dicts.
+    """
+    raw = get_model_config(model_name)
+    if raw is None:
+        raise ValueError(
+            f"Model config for {model_name} not found; available: {list_models()}"
+        )
+    raw = dict(raw)
+    overrides = overrides or {}
+    vision_d = dict(raw.get("vision_cfg", {}))
+    text_d = dict(raw.get("text_cfg", {}))
+    mm_d = raw.get("multimodal_cfg")
+    for key, val in overrides.items():
+        if key in ("attentional_pool", "add_zero_attn", "output_all"):
+            vision_d[key] = val
+            text_d[key] = val
+        elif key.startswith("vision_"):
+            vision_d[key[len("vision_"):]] = val
+        elif key.startswith("text_"):
+            text_d[key[len("text_"):]] = val
+        else:
+            raw[key] = val
+    return CLIPCfg(
+        embed_dim=raw["embed_dim"],
+        vision_cfg=VisionCfg(**_filter_fields(VisionCfg, vision_d)),
+        text_cfg=TextCfg(**_filter_fields(TextCfg, text_d)),
+        multimodal_cfg=(
+            MultimodalCfg(**_filter_fields(MultimodalCfg, mm_d)) if mm_d else None
+        ),
+        quick_gelu=raw.get("quick_gelu", False),
+        init_logit_scale=raw.get("init_logit_scale", CLIPCfg.init_logit_scale),
+        init_logit_bias=raw.get("init_logit_bias"),
+        custom_text=raw.get("custom_text", False),
+    )

@@ -1,0 +1,181 @@
+"""Model factory — the public construction surface.
+
+Mirrors /root/reference/src/open_clip/factory.py:
+  - create_model (:185): name -> config -> model + initialized params,
+    precision casting, optional checkpoint load.
+  - create_model_and_transforms (:418): adds train/val preprocessing.
+  - create_loss (:372): dispatches the loss by args (cosmos at :399-407).
+  - get_tokenizer (:87), load_checkpoint (:147).
+
+Unlike the reference (stateful nn.Module), creation returns a
+``(module_def, params)`` pair: the Flax module is a pure function of the
+params pytree, which is what the jitted train/eval steps consume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .clip import CLIP
+from .config import CLIPCfg, build_clip_cfg, get_model_config, list_models
+
+logger = logging.getLogger(__name__)
+
+
+def resolve_dtype(precision: str):
+    """Map a precision flag (training/precision.py:5-12) to a compute dtype.
+
+    On TPU there is no GradScaler: 'amp'/'fp16' map to bf16 compute with
+    f32 params, which is the hardware-native mixed-precision mode.
+    """
+    if precision in ("fp32", "float32", "amp_bf16_grad_fp32"):
+        return jnp.float32
+    if precision in ("bf16", "pure_bf16", "amp", "amp_bf16", "amp_bfloat16", "fp16", "pure_fp16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown precision: {precision}")
+
+
+def create_model(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    *,
+    cosmos: bool = False,
+    output_all: bool = False,
+    attentional_pool: bool = False,
+    add_zero_attn: bool = False,
+    grad_checkpointing: bool = False,
+    use_flash: bool = False,
+    force_quick_gelu: bool = False,
+    force_patch_dropout: Optional[float] = None,
+    force_image_size: Optional[int] = None,
+    seed: int = 0,
+    init_params: bool = True,
+    **overrides: Any,
+) -> Tuple[CLIP, Optional[Dict]]:
+    if output_all:
+        overrides["output_all"] = True
+    if attentional_pool:
+        overrides["attentional_pool"] = True
+    if add_zero_attn:
+        overrides["add_zero_attn"] = True
+    if force_patch_dropout is not None:
+        overrides["vision_patch_dropout"] = force_patch_dropout
+    if force_image_size is not None:
+        overrides["vision_image_size"] = force_image_size
+    cfg = build_clip_cfg(model_name, overrides)
+    if force_quick_gelu:
+        cfg = dataclasses.replace(cfg, quick_gelu=True)
+
+    model = CLIP(
+        cfg=cfg,
+        cosmos=cosmos,
+        dtype=resolve_dtype(precision),
+        remat=grad_checkpointing,
+        use_flash=use_flash,
+    )
+    params = None
+    if init_params:
+        params = init_model_params(model, seed=seed)
+    if pretrained:
+        from .checkpoint import load_checkpoint
+        params = load_checkpoint(model, params, pretrained)
+    return model, params
+
+
+def init_model_params(model: CLIP, seed: int = 0) -> Dict:
+    """Initialize params with dummy inputs (shapes only — uses eval_shape
+    to pick static input sizes, real init on device)."""
+    c = model.cfg
+    v, t = c.vision_cfg, c.text_cfg
+    images = jnp.zeros((1, v.image_size, v.image_size, 3), jnp.float32)
+    texts = jnp.zeros((1, t.context_length), jnp.int32)
+    if v.output_all and v.attentional_pool:
+        # run the cross-modal branch once so the pooler params materialize
+        variables = jax.jit(model.init, static_argnames=("batch_size",))(
+            jax.random.PRNGKey(seed), images, texts, batch_size=1
+        )
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(seed), images, texts)
+    return variables["params"]
+
+
+def create_model_and_transforms(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    *,
+    image_mean: Optional[Tuple[float, ...]] = None,
+    image_std: Optional[Tuple[float, ...]] = None,
+    aug_cfg: Optional[Dict[str, Any]] = None,
+    use_imagecrop_aug: bool = False,
+    local_crops_number: int = 6,
+    global_crops_number: int = 2,
+    crop_scale: float = 0.4,
+    **kwargs: Any,
+):
+    from cosmos_tpu.data.transforms import (
+        image_transform_train,
+        image_transform_eval,
+        MulticropAugmentation,
+    )
+    from cosmos_tpu.data.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+    model, params = create_model(model_name, pretrained, precision, **kwargs)
+    mean = image_mean or OPENAI_DATASET_MEAN
+    std = image_std or OPENAI_DATASET_STD
+    image_size = model.cfg.vision_cfg.image_size
+    if use_imagecrop_aug:
+        train_tf = MulticropAugmentation(
+            mean=mean,
+            std=std,
+            image_size=image_size,
+            local_crops_number=local_crops_number,
+            global_crops_number=global_crops_number,
+            crop_scale=crop_scale,
+        )
+    else:
+        train_tf = image_transform_train(image_size, mean=mean, std=std,
+                                         aug_cfg=aug_cfg)
+    val_tf = image_transform_eval(image_size, mean=mean, std=std)
+    return model, params, train_tf, val_tf
+
+
+def create_loss(args):
+    """Loss dispatch by trainer args (factory.py:372-407)."""
+    from cosmos_tpu.losses import ClipLoss, CoCaLoss, COSMOSLoss, SigLipLoss
+
+    if getattr(args, "cosmos", False):
+        return COSMOSLoss(
+            local_loss=args.local_loss,
+            gather_with_grad=args.gather_with_grad,
+        )
+    if getattr(args, "siglip", False):
+        return SigLipLoss()
+    if "coca" in getattr(args, "model", "").lower():
+        return CoCaLoss(
+            caption_loss_weight=args.coca_caption_loss_weight,
+            clip_loss_weight=args.coca_contrastive_loss_weight,
+            local_loss=args.local_loss,
+            gather_with_grad=args.gather_with_grad,
+        )
+    return ClipLoss(
+        local_loss=getattr(args, "local_loss", False),
+        gather_with_grad=getattr(args, "gather_with_grad", True),
+    )
+
+
+def get_tokenizer(model_name: str = "", context_length: Optional[int] = None, **kwargs):
+    from cosmos_tpu.data.tokenizer import SimpleTokenizer
+
+    cfg = get_model_config(model_name) if model_name else None
+    if context_length is None and cfg:
+        context_length = cfg.get("text_cfg", {}).get("context_length", 77)
+    return SimpleTokenizer(context_length=context_length or 77, **kwargs)

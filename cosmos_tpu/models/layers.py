@@ -1,0 +1,130 @@
+"""Core layers shared by the vision and text towers.
+
+Functional parity targets (see /root/reference/src/open_clip/transformer.py:15-86):
+  - LayerNorm computed in float32 and cast back to the input dtype
+    (reference LayerNorm/LayerNormFp32, transformer.py:15-30).
+  - QuickGELU x * sigmoid(1.702 x) (transformer.py:33-36).
+  - LayerScale per-channel gain (transformer.py:39-46).
+  - PatchDropout (transformer.py:49-86) — keep a random subset of patch
+    tokens during training, always keeping the CLS token.
+
+TPU notes: params are stored in float32; compute dtype (usually bfloat16)
+is threaded through via the ``dtype`` attribute.  LayerNorm always reduces
+in float32 — on TPU the cast is free relative to the HBM-bound reduction
+and it matches the reference's mixed-precision semantics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with float32 accumulation, cast back to input dtype."""
+
+    epsilon: float = 1e-5
+    use_bias: bool = True
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        dim = x.shape[-1]
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+            y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+            y = y + bias
+        return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 * x) — the OpenAI CLIP activation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU, matching torch.nn.GELU's default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def get_act_fn(name: str) -> Callable[[jax.Array], jax.Array]:
+    if name in ("gelu", "GELU"):
+        return gelu
+    if name in ("quick_gelu", "QuickGELU"):
+        return quick_gelu
+    raise ValueError(f"unknown activation: {name}")
+
+
+class LayerScale(nn.Module):
+    """Per-channel learnable gain (transformer.py:39-46)."""
+
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        gamma = self.param(
+            "gamma",
+            lambda key, shape, dtype: jnp.full(shape, self.init_value, dtype),
+            (dim,),
+            jnp.float32,
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: Dense -> act -> Dense (transformer.py c_fc/gelu/c_proj)."""
+
+    hidden_dim: int
+    out_dim: int
+    act_fn: Callable[[jax.Array], jax.Array] = gelu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_fc")(x)
+        x = self.act_fn(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="c_proj")(x)
+        return x
+
+
+def patch_dropout(
+    x: jax.Array,
+    rng: jax.Array,
+    prob: float,
+    exclude_first_token: bool = True,
+) -> jax.Array:
+    """Randomly keep a fixed-size subset of patch tokens (PatchDropout).
+
+    Reference: transformer.py:49-86.  Uses top-k over random scores so the
+    kept count is static — jit friendly.
+    """
+    if prob <= 0.0:
+        return x
+    cls_tokens, tokens = (x[:, :1], x[:, 1:]) if exclude_first_token else (x[:, :1], x[:, 1:])
+    b, n, _ = tokens.shape
+    num_keep = max(1, int(n * (1.0 - prob)))
+    scores = jax.random.normal(rng, (b, n))
+    _, keep_idx = jax.lax.top_k(scores, num_keep)
+    kept = jnp.take_along_axis(tokens, keep_idx[..., None], axis=1)
+    if exclude_first_token:
+        kept = jnp.concatenate([cls_tokens, kept], axis=1)
+    return kept
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """F.normalize(dim=-1) equivalent (norm clamped at eps)."""
+    norm = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(norm, eps)).astype(x.dtype)

@@ -1,0 +1,216 @@
+"""Vision transformer tower.
+
+Parity targets (/root/reference/src/open_clip/transformer.py:471-764):
+  - conv1 patchify (:506) — implemented here as an unfold+matmul, which is
+    numerically identical for stride == kernel (non-overlapping patches)
+    and maps straight onto the MXU with no conv layout shuffles.
+  - class token + learnable/sin-cos positional embedding (:511-521).
+  - bicubic positional-embedding interpolation for non-native resolutions
+    (interpolate_pos_encoding, :646-669) — resolved statically per input
+    shape under jit, so each crop resolution compiles once.
+  - 'tok' pooling: CLS token → ln_post → @ proj (:640-729).
+  - CSA branch for SCLIP segmentation (:687-694) via the transformer's
+    ``csa_last_block``.
+  - AttentionalCrossPooler at the embedding dim when attentional_pool is
+    set (:540-548) — COSMOS's image-token pooler.
+
+Input layout is NHWC (TPU-native), unlike the reference's NCHW.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .attention import AttentionalCrossPooler
+from .layers import LayerNorm, gelu, l2_normalize, patch_dropout
+from .transformer import Transformer
+
+Dtype = Any
+
+
+def sincos_2d_pos_embed(dim: int, grid: int, cls_token: bool = True) -> np.ndarray:
+    """2-D sin-cos positional embedding (pos_embed.py:20-67 equivalent)."""
+    def _1d(d, pos):
+        omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    gh = np.arange(grid, dtype=np.float64)
+    gw = np.arange(grid, dtype=np.float64)
+    gw, gh = np.meshgrid(gw, gh)
+    emb = np.concatenate([_1d(dim // 2, gh), _1d(dim // 2, gw)], axis=1)
+    if cls_token:
+        emb = np.concatenate([np.zeros((1, dim)), emb], axis=0)
+    return emb.astype(np.float32)
+
+
+def interpolate_pos_embed(
+    pos_embed: jax.Array, src_grid: Tuple[int, int], dst_grid: Tuple[int, int]
+) -> jax.Array:
+    """Bicubic-resize the patch part of a [1+N, D] pos embed to a new grid."""
+    if src_grid == dst_grid:
+        return pos_embed
+    cls_pe, patch_pe = pos_embed[:1], pos_embed[1:]
+    d = pos_embed.shape[-1]
+    grid = patch_pe.reshape(src_grid[0], src_grid[1], d).astype(jnp.float32)
+    resized = jax.image.resize(
+        grid, (dst_grid[0], dst_grid[1], d), method="bicubic", antialias=False
+    )
+    return jnp.concatenate(
+        [cls_pe, resized.reshape(-1, d).astype(pos_embed.dtype)], axis=0
+    )
+
+
+class VisionTransformer(nn.Module):
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: int = 512
+    ls_init_value: Optional[float] = None
+    patch_dropout_prob: float = 0.0
+    no_ln_pre: bool = False
+    pos_embed_type: str = "learnable"   # 'learnable' | 'sin_cos_2d'
+    pool_type: str = "tok"              # 'tok' | 'avg' | 'none'
+    final_ln_after_pool: bool = False
+    attentional_pool: bool = False
+    attn_pooler_heads: int = 8
+    add_zero_attn: bool = False
+    act_fn: Callable[[jax.Array], jax.Array] = gelu
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+    use_flash: bool = False
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        return (self.image_size // self.patch_size, self.image_size // self.patch_size)
+
+    def setup(self):
+        p, w = self.patch_size, self.width
+        scale = w ** -0.5
+        # HWIO kernel layout (matches a Conv with stride=kernel=p, no bias).
+        self.conv1_kernel = self.param(
+            "conv1_kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, 3, w),
+            jnp.float32,
+        )
+        self.class_embedding = self.param(
+            "class_embedding",
+            nn.initializers.normal(stddev=scale),
+            (w,),
+            jnp.float32,
+        )
+        n_pos = self.grid_size[0] * self.grid_size[1] + 1
+        if self.pos_embed_type == "learnable":
+            self.positional_embedding = self.param(
+                "positional_embedding",
+                nn.initializers.normal(stddev=scale),
+                (n_pos, w),
+                jnp.float32,
+            )
+        elif self.pos_embed_type == "sin_cos_2d":
+            fixed = sincos_2d_pos_embed(w, self.grid_size[0], cls_token=True)
+            self.positional_embedding = self.param(
+                "positional_embedding",
+                lambda key, shape, dtype: jnp.asarray(fixed, dtype),
+                (n_pos, w),
+                jnp.float32,
+            )
+        else:
+            raise ValueError(self.pos_embed_type)
+
+        self.ln_pre = None if self.no_ln_pre else LayerNorm(name="ln_pre")
+        self.transformer = Transformer(
+            width=w,
+            layers=self.layers,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            act_fn=self.act_fn,
+            dtype=self.dtype,
+            remat=self.remat,
+            use_flash=self.use_flash,
+        )
+        self.ln_post = LayerNorm(name="ln_post")
+        self.proj = self.param(
+            "proj", nn.initializers.normal(stddev=scale), (w, self.output_dim), jnp.float32
+        )
+        if self.attentional_pool:
+            # COSMOS image-token cross pooler at the embedding dim
+            # (transformer.py:540-548).
+            self.attn_cross_pool = AttentionalCrossPooler(
+                num_heads=self.attn_pooler_heads,
+                add_zero_attn=self.add_zero_attn,
+                dtype=self.dtype,
+                name="attn_cross_pool",
+            )
+        else:
+            self.attn_cross_pool = None
+
+    def patchify(self, images: jax.Array) -> jax.Array:
+        """[B, H, W, 3] -> [B, gh*gw, width] via unfold + one matmul."""
+        b, h, w, c = images.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+        x = images.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        kernel = self.conv1_kernel.reshape(p * p * 3, self.width).astype(self.dtype)
+        return jnp.dot(x.astype(self.dtype), kernel, preferred_element_type=jnp.float32).astype(self.dtype)
+
+    def __call__(
+        self,
+        images: jax.Array,
+        csa: bool = False,
+        patch_drop_rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (pooled [B, output_dim], tokens [B, N, width])."""
+        b, h, w, _ = images.shape
+        x = self.patchify(images)
+        cls = jnp.broadcast_to(
+            self.class_embedding.astype(x.dtype)[None, None, :], (b, 1, self.width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        pe = interpolate_pos_embed(
+            self.positional_embedding,
+            self.grid_size,
+            (h // self.patch_size, w // self.patch_size),
+        )
+        x = x + pe.astype(x.dtype)[None]
+
+        if self.patch_dropout_prob > 0.0 and patch_drop_rng is not None:
+            x = patch_dropout(x, patch_drop_rng, self.patch_dropout_prob)
+
+        if self.ln_pre is not None:
+            x = self.ln_pre(x)
+
+        x = self.transformer(x, mask=None, csa_last_block=csa)
+
+        if self.final_ln_after_pool:
+            pooled, tokens = self._pool(x)
+            pooled = self.ln_post(pooled)
+        else:
+            x = self.ln_post(x)
+            pooled, tokens = self._pool(x)
+
+        pooled = jnp.dot(
+            pooled.astype(self.dtype), self.proj.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        return pooled, tokens
+
+    def _pool(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        if self.pool_type == "avg":
+            return x[:, 1:].mean(axis=1), x[:, 1:]
+        if self.pool_type == "tok":
+            return x[:, 0], x[:, 1:]
+        return x, x

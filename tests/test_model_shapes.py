@@ -1,0 +1,120 @@
+"""Shape and invariance tests for the CLIP/COSMOS model forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosmos_tpu.models.factory import create_model
+
+
+TINY = {
+    "embed_dim": 64,
+    "vision_image_size": 32,
+    "vision_patch_size": 8,
+    "vision_width": 48,
+    "vision_layers": 2,
+    "vision_head_width": 24,
+    "text_context_length": 16,
+    "text_vocab_size": 512,
+    "text_width": 32,
+    "text_heads": 2,
+    "text_layers": 2,
+}
+
+
+def make_tiny(**kw):
+    defaults = dict(TINY)
+    defaults.update(kw)
+    return create_model("ViT-B-16", seed=0, **defaults)
+
+
+def test_encode_shapes():
+    model, params = make_tiny()
+    imgs = jnp.zeros((3, 32, 32, 3))
+    txts = jnp.zeros((5, 16), jnp.int32)
+    out = model.apply({"params": params}, imgs, method=model.encode_image)
+    assert out["image_features"].shape == (3, 64)
+    tout = model.apply({"params": params}, txts, method=model.encode_text)
+    assert tout["text_features"].shape == (5, 64)
+
+
+def test_normalization():
+    model, params = make_tiny()
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out = model.apply(
+        {"params": params}, imgs, True, method=model.encode_image
+    )
+    norms = jnp.linalg.norm(out["image_features"], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_cosmos_forward_shapes():
+    model, params = make_tiny(
+        cosmos=True, output_all=True, attentional_pool=True, add_zero_attn=True
+    )
+    B, n_local, k = 2, 3, 4
+    g = jax.random.normal(jax.random.PRNGKey(0), (2 * B, 32, 32, 3))
+    l = jax.random.normal(jax.random.PRNGKey(1), (n_local * B, 16, 16, 3))
+    t = jax.random.randint(jax.random.PRNGKey(2), (k * B, 16), 0, 511)
+    out = model.apply({"params": params}, g, t, l, B)
+    assert out["image_features"].shape == ((2 + n_local) * B, 64)
+    assert out["text_features"].shape == (k * B, 64)
+    assert out["img_crossmodal_features"].shape == ((2 + n_local) * B, 64)
+    assert out["txt_crossmodal_features"].shape == (k * B, 64)
+    assert out["logit_scale"].shape == ()
+    assert out["distill_logit_scale"].shape == ()
+    # all returned features are normalized
+    for key in ("image_features", "text_features",
+                "img_crossmodal_features", "txt_crossmodal_features"):
+        np.testing.assert_allclose(
+            jnp.linalg.norm(out[key], axis=-1), 1.0, atol=1e-4, err_msg=key
+        )
+
+
+def test_teacher_forward_no_crossmodal():
+    model, params = make_tiny(
+        cosmos=True, output_all=True, attentional_pool=True, add_zero_attn=True
+    )
+    B = 2
+    g = jax.random.normal(jax.random.PRNGKey(0), (2 * B, 32, 32, 3))
+    t = jax.random.randint(jax.random.PRNGKey(2), (2 * B, 16), 0, 511)
+    out = model.apply({"params": params}, g, t)  # batch_size=None -> teacher mode
+    assert "img_crossmodal_features" not in out
+    np.testing.assert_allclose(
+        jnp.linalg.norm(out["image_features"], axis=-1), 1.0, atol=1e-4
+    )
+
+
+def test_pos_embed_interpolation_identity():
+    from cosmos_tpu.models.vit import interpolate_pos_embed
+
+    pe = jax.random.normal(jax.random.PRNGKey(0), (17, 8))
+    out = interpolate_pos_embed(pe, (4, 4), (4, 4))
+    np.testing.assert_array_equal(pe, out)
+    out2 = interpolate_pos_embed(pe, (4, 4), (2, 2))
+    assert out2.shape == (5, 8)
+    np.testing.assert_array_equal(out2[0], pe[0])
+
+
+def test_eot_pooling_picks_argmax_position():
+    """The pooled text feature must come from the EOT (max-id) position."""
+    model, params = make_tiny()
+    t1 = jnp.array([[5, 7, 511, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    t2 = jnp.array([[5, 7, 511, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    o1 = model.apply({"params": params}, t1, method=model.encode_text)
+    o2 = model.apply({"params": params}, t2, method=model.encode_text)
+    # same EOT position (2) but different suffix: with causal masking the
+    # hidden state at position 2 is unaffected by position 3
+    np.testing.assert_allclose(
+        o1["text_features"], o2["text_features"], atol=1e-5
+    )
+
+
+def test_csa_forward_runs():
+    model, params = make_tiny(output_all=True, attentional_pool=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    out = model.apply(
+        {"params": params}, imgs, False, True, method=model.encode_image
+    )
+    assert out["image_tokens"].shape == (2, 16, 64)
