@@ -1,0 +1,111 @@
+"""Headline benchmark: CC3M-recap COSMOS pretraining throughput per chip.
+
+Reproduces the reference's CC3M training configuration
+(/root/reference/src/train_cc3m.sh: ViT-B-16, per-device batch 64,
+2 global crops @224 + 6 local crops @96, 8 sampled captions, AMP) as one
+jitted train step on this host's TPU chip(s) and reports images/sec/chip
+(counting batch samples per step, matching the reference's samples/s
+accounting at train.py:268-270).
+
+The reference publishes no throughput number; the baseline constant below
+is an engineering estimate of A100-40GB per-GPU throughput for this exact
+multi-crop workload (~3.2x single-image ViT-B/16 FLOPs + 8 caption text
+encodes + teacher forward at per-GPU batch 64 under torch AMP).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Estimated reference A100-40GB per-GPU rate for the CC3M COSMOS config
+# (not published; see module docstring).
+A100_BASELINE_IMG_PER_SEC_PER_DEV = 340.0
+
+
+def main() -> None:
+    from cosmos_tpu.models.factory import create_model
+    from cosmos_tpu.parallel.mesh import create_mesh, shard_batch
+    from cosmos_tpu.training.scheduler import cosine_lr, cosine_scheduler
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    n_dev = len(jax.devices())
+    mesh = create_mesh(n_dev)
+
+    model, params = create_model(
+        "ViT-B-16",
+        precision="bf16",
+        cosmos=True,
+        output_all=True,
+        attentional_pool=True,
+        add_zero_attn=True,
+    )
+    lr = cosine_lr(5e-4, 2000, 100000)
+    optimizer = create_optimizer(
+        lr, beta1=0.9, beta2=0.98, eps=1e-8, weight_decay=0.5
+    )
+    cfg = TrainStepConfig(
+        cosmos=True,
+        local_loss=True,
+        momentum_teacher=0.999,
+        fix_momentum=True,
+        lr_schedule=lr,
+        input_dtype=jnp.bfloat16,
+    )
+    step_fn = make_train_step(model, optimizer, mesh, cfg)
+    state = create_train_state(params, optimizer)
+
+    b = 64 * n_dev  # reference per-device batch 64 (train_cc3m.sh:36)
+    rng = np.random.default_rng(0)
+    batch = {
+        "global_images": rng.normal(size=(2, b, 224, 224, 3)).astype(np.float32),
+        "local_images": rng.normal(size=(6, b, 96, 96, 3)).astype(np.float32),
+        "texts": rng.integers(1, 49407, size=(8, b, 77)).astype(np.int32),
+    }
+    batch = shard_batch(batch, mesh, batch_axis=1)
+
+    # warmup / compile.  NOTE: a scalar host readback (not
+    # block_until_ready) is what forces completion through the PJRT
+    # relay in this environment; the sequential state dependency chains
+    # every step into the final loss value.
+    t_compile = time.perf_counter()
+    for _ in range(3):
+        state, metrics = step_fn(state, batch)
+    float(metrics["loss"])
+    import sys
+    print(f"warmup(3 steps incl compile): {time.perf_counter()-t_compile:.1f}s",
+          file=sys.stderr)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_sec_per_chip = b / dt / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": "cc3m_pretrain_images_per_sec_per_chip",
+                "value": round(img_per_sec_per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    img_per_sec_per_chip / A100_BASELINE_IMG_PER_SEC_PER_DEV, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,260 @@
+"""Multiprocess training data loader.
+
+Replaces the reference's torch DataLoader + webdataset worker stack
+(/root/reference/src/training/data.py:552-559): N worker processes each
+stream a disjoint shard subset (split_by_node/split_by_worker semantics),
+decode + augment on the host, and emit COMPLETE device batches through a
+queue; the main process round-robins workers.
+
+TPU-first detail: crops cross the process boundary (and later PCIe) as
+uint8 — mean/std normalization is fused into the jitted train step on
+device, cutting host->device bytes 4x vs float32 tensors (the reference
+ships normalized float tensors through pinned memory).
+
+Epoch bookkeeping mirrors DataInfo/SharedEpoch (data.py:69-90): the
+loader is an infinite stream; `num_batches` per epoch is computed from
+--train-num-samples and the global batch size, and `set_epoch` reseeds
+shard order deterministically (detshuffle2 keying).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import multiprocessing as mp
+import queue as queue_mod
+import random
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DataInfo:
+    """Loader + bookkeeping handle (data.py:80-90)."""
+
+    dataloader: Any
+    num_samples: int = 0
+    num_batches: int = 0
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.dataloader, "set_epoch"):
+            self.dataloader.set_epoch(epoch)
+
+
+@dataclasses.dataclass
+class WdsTrainConfig:
+    urls: List[str]
+    weights: Optional[List[float]] = None
+    batch_size: int = 64              # per-host batch
+    num_workers: int = 4
+    global_crops_number: int = 2
+    local_crops_number: int = 6
+    image_size: int = 224
+    local_size: int = 96
+    crop_scale: float = 0.4
+    num_sampled_captions: int = 8
+    caption_sampling_mode: str = "textcrop"
+    context_length: int = 77
+    seed: int = 0
+    shuffle_buffer: int = 1000
+    process_index: int = 0
+    process_count: int = 1
+    resampled: bool = False
+    use_multicrop: bool = True
+
+
+def _worker_loop(cfg: WdsTrainConfig, worker_index: int, epoch0: int,
+                 out_q, epoch_q) -> None:
+    """Runs in a worker process: stream shards -> samples -> batches."""
+    from cosmos_tpu.data.caption import sample_captions
+    from cosmos_tpu.data.tokenizer import SimpleTokenizer
+    from cosmos_tpu.data.transforms import MulticropAugmentation, TrainTransform
+    from cosmos_tpu.data.webdataset import (
+        ShardedShardList,
+        decode_sample,
+        shuffle_buffer,
+        tar_to_samples,
+    )
+
+    tokenizer = SimpleTokenizer(context_length=cfg.context_length)
+    if cfg.use_multicrop:
+        transform = MulticropAugmentation(
+            image_size=cfg.image_size,
+            local_crops_number=cfg.local_crops_number,
+            global_crops_number=cfg.global_crops_number,
+            crop_scale=cfg.crop_scale,
+            local_size=cfg.local_size,
+            as_uint8=True,
+        )
+    else:
+        transform = TrainTransform(image_size=cfg.image_size, as_uint8=True)
+
+    shards = ShardedShardList(
+        cfg.urls,
+        cfg.weights,
+        shuffle=True,
+        seed=cfg.seed,
+        resampled=cfg.resampled,
+        process_index=cfg.process_index,
+        process_count=cfg.process_count,
+        worker_index=worker_index,
+        worker_count=cfg.num_workers,
+    )
+
+    epoch = epoch0
+    while True:
+        rng = random.Random(hash((cfg.seed, epoch, cfg.process_index, worker_index)))
+
+        def sample_stream():
+            for shard in shards.epoch_shards(epoch):
+                for raw in tar_to_samples(shard):
+                    decoded = decode_sample(raw)
+                    if decoded is None:
+                        continue
+                    yield decoded
+
+        n_crops = cfg.global_crops_number + cfg.local_crops_number
+        k = cfg.num_sampled_captions
+        buf: List = []
+        for img, meta in shuffle_buffer(sample_stream(), cfg.shuffle_buffer, rng):
+            try:
+                crops = transform(img, rng) if cfg.use_multicrop else [transform(img, rng)]
+                caps = sample_captions(meta, k, cfg.caption_sampling_mode, rng)
+                tokens = tokenizer(caps)
+            except Exception as e:
+                logger.warning(f"worker {worker_index}: sample error {e!r}")
+                continue
+            buf.append((crops, tokens))
+            if len(buf) == cfg.batch_size:
+                out_q.put(_collate(buf, cfg))
+                buf = []
+        # epoch exhausted; advance (non-resampled) or follow main's epoch
+        try:
+            while True:
+                epoch = epoch_q.get_nowait()
+        except queue_mod.Empty:
+            epoch += 1
+
+
+def _collate(buf, cfg: WdsTrainConfig) -> Dict[str, np.ndarray]:
+    b = len(buf)
+    g = cfg.global_crops_number
+    n = cfg.local_crops_number
+    out: Dict[str, np.ndarray] = {}
+    first_crops = buf[0][0]
+    gi = np.stack([np.stack([s[0][v] for s in buf]) for v in range(g)])
+    out["global_images"] = gi  # [g, B, H, W, 3] uint8
+    if cfg.use_multicrop and n > 0:
+        li = np.stack([np.stack([s[0][g + v] for s in buf]) for v in range(n)])
+        out["local_images"] = li
+    out["texts"] = np.stack(
+        [np.stack([s[1][v] for s in buf]) for v in range(buf[0][1].shape[0])]
+    )  # [k, B, L]
+    return out
+
+
+class WdsTrainLoader:
+    """Infinite batch iterator over tar shards with worker processes."""
+
+    def __init__(self, cfg: WdsTrainConfig, start_epoch: int = 0,
+                 prefetch: int = 4):
+        self.cfg = cfg
+        self._epoch = start_epoch
+        self._procs: List = []
+        self._epoch_qs: List = []
+        self._q = None
+        self._prefetch = prefetch
+        self._started = False
+
+    def _start(self):
+        if self.cfg.num_workers == 0:
+            self._started = True
+            return
+        # forkserver: workers fork from a clean server process — no re-exec
+        # of __main__ (spawn would) and no inheriting an initialized TPU
+        # client (plain fork would).
+        ctx = mp.get_context("forkserver")
+        self._q = ctx.Queue(maxsize=self._prefetch * max(1, self.cfg.num_workers))
+        for w in range(self.cfg.num_workers):
+            eq = ctx.Queue()
+            p = ctx.Process(
+                target=_worker_loop,
+                args=(self.cfg, w, self._epoch, self._q, eq),
+                daemon=True,
+            )
+            p.start()
+            self._procs.append(p)
+            self._epoch_qs.append(eq)
+        self._started = True
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+        for eq in self._epoch_qs:
+            eq.put(epoch)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if not self._started:
+            self._start()
+        if self.cfg.num_workers == 0:
+            yield from self._inline_iter()
+            return
+        while True:
+            try:
+                yield self._q.get(timeout=30.0)
+            except queue_mod.Empty:
+                if not any(p.is_alive() for p in self._procs):
+                    raise RuntimeError(
+                        "all data-loader workers died; see worker logs"
+                    )
+
+    def _inline_iter(self):
+        """num_workers=0 debug path: run the worker loop inline."""
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+        t = threading.Thread(
+            target=_worker_loop,
+            args=(dataclasses.replace(self.cfg, num_workers=1), 0, self._epoch,
+                  q, queue_mod.Queue()),
+            daemon=True,
+        )
+        t.start()
+        while True:
+            yield q.get()
+
+    def shutdown(self):
+        for p in self._procs:
+            p.terminate()
+        self._procs = []
+
+
+class MapDatasetLoader:
+    """Simple batched loader for map-style (eval) datasets with threads."""
+
+    def __init__(self, dataset, batch_size: int, num_threads: int = 8,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_threads = num_threads
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(self.dataset)
+        idxs = list(range(n))
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            for start in range(0, n, self.batch_size):
+                chunk = idxs[start : start + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    return
+                items = list(pool.map(self.dataset.__getitem__, chunk))
+                firsts = [np.asarray(it[0]) for it in items]
+                seconds = [np.asarray(it[1]) for it in items]
+                yield np.stack(firsts), np.stack(seconds)

@@ -1,0 +1,215 @@
+"""Tar-shard ("webdataset") streaming reader with deterministic sharding.
+
+TPU-native replacement for the reference's webdataset pipeline
+(/root/reference/src/training/data.py:285-579):
+  - brace-pattern shard lists ('cc3m-train-{0000..0575}.tar');
+  - deterministic per-epoch shard shuffle keyed on seed+epoch
+    (detshuffle2, data.py:342-371);
+  - weighted infinite shard resampling (ResampledShards2, data.py:374-425);
+  - per-host and per-worker shard splitting (split_by_node/worker,
+    data.py:483-484) — here (process_index, process_count) x worker id;
+  - tolerant tar -> sample grouping: corrupt members logged and skipped,
+    duplicate keys tolerated (group_by_keys_nothrow, data.py:285-319);
+  - a sample shuffle buffer (wds.shuffle equivalent).
+
+Pure stdlib (tarfile) + PIL; no webdataset dependency.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import random
+import re
+import tarfile
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+logger = logging.getLogger(__name__)
+
+IMG_EXTS = ("jpg", "jpeg", "png", "webp")
+
+
+def braceexpand(pattern: str) -> List[str]:
+    """Expand '{0000..0575}' numeric ranges and '{a,b,c}' lists."""
+    m_range = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
+    m_list = re.search(r"\{([^{}]*,[^{}]*)\}", pattern)
+    # expand the LEFTMOST brace group first so nested expansion order
+    # matches shell brace expansion
+    if m_range and (not m_list or m_range.start() < m_list.start()):
+        lo, hi = m_range.group(1), m_range.group(2)
+        width = len(lo)
+        out = []
+        for v in range(int(lo), int(hi) + 1):
+            out.extend(
+                braceexpand(
+                    pattern[: m_range.start()]
+                    + str(v).zfill(width)
+                    + pattern[m_range.end():]
+                )
+            )
+        return out
+    if m_list:
+        out = []
+        for part in m_list.group(1).split(","):
+            out.extend(
+                braceexpand(pattern[: m_list.start()] + part + pattern[m_list.end():])
+            )
+        return out
+    return [pattern]
+
+
+def expand_urls(urls, weights: Optional[str] = None):
+    """'path1::path2' with optional '--train-data-upsampling-factors'
+    weights 'w1::w2' (data.py get_dataset_size/ResampledShards2 inputs)."""
+    if isinstance(urls, str):
+        url_list = urls.split("::")
+        w = weights.split("::") if weights else None
+        if w is not None:
+            assert len(w) == len(url_list), (
+                "number of weights must match number of url specs"
+            )
+        all_urls, all_weights = [], []
+        for i, u in enumerate(url_list):
+            expanded = braceexpand(u)
+            all_urls.extend(expanded)
+            if w is not None:
+                all_weights.extend([float(w[i])] * len(expanded))
+        return all_urls, (all_weights if w is not None else None)
+    return list(urls), None
+
+
+def log_and_continue(exn) -> bool:
+    """Sample-level error handler (data.py:279-282)."""
+    logger.warning(f"Handling webdataset error ({repr(exn)}). Ignoring.")
+    return True
+
+
+def tar_to_samples(path: str) -> Iterator[Dict[str, bytes]]:
+    """Stream one tar shard into {key, ext: bytes} sample dicts.
+
+    Groups consecutive members sharing the basename prefix; tolerates
+    duplicate keys and truncated members (nothrow semantics).
+    """
+    current_key = None
+    sample: Dict[str, bytes] = {}
+    try:
+        with tarfile.open(path, mode="r|*") as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                name = member.name
+                if "." not in name:
+                    continue
+                key, ext = name.split(".", 1)
+                ext = ext.lower()
+                try:
+                    data = tf.extractfile(member).read()
+                except Exception as e:  # truncated member
+                    log_and_continue(e)
+                    continue
+                if key != current_key:
+                    if sample and current_key is not None:
+                        yield dict(sample, __key__=current_key.encode())
+                    current_key, sample = key, {}
+                if ext in sample:  # duplicate within key: keep first
+                    continue
+                sample[ext] = data
+            if sample and current_key is not None:
+                yield dict(sample, __key__=current_key.encode())
+    except Exception as e:  # corrupt shard
+        log_and_continue(e)
+
+
+class ShardedShardList:
+    """Deterministic epoch-shuffled, host/worker-split shard iterator."""
+
+    def __init__(
+        self,
+        urls: Sequence[str],
+        weights: Optional[Sequence[float]] = None,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        resampled: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
+        worker_index: int = 0,
+        worker_count: int = 1,
+    ):
+        self.urls = list(urls)
+        self.weights = list(weights) if weights is not None else None
+        self.shuffle = shuffle
+        self.seed = seed
+        self.resampled = resampled
+        self.process_index = process_index
+        self.process_count = process_count
+        self.worker_index = worker_index
+        self.worker_count = worker_count
+
+    def _split(self, shards: List[str]) -> List[str]:
+        stride = self.process_count * self.worker_count
+        offset = self.process_index * self.worker_count + self.worker_index
+        return shards[offset::stride]
+
+    def epoch_shards(self, epoch: int) -> Iterator[str]:
+        if self.resampled:
+            # weighted sampling with replacement, deterministic per
+            # (seed, epoch, worker) — ResampledShards2 semantics
+            rng = random.Random(hash((self.seed, epoch, self.process_index,
+                                       self.worker_index)))
+            n = max(1, len(self._split(self.urls)))
+            for _ in range(len(self.urls) // (self.process_count * self.worker_count) or 1):
+                yield rng.choices(self.urls, weights=self.weights, k=1)[0]
+            return
+        shards = list(self.urls)
+        if self.shuffle:
+            rng = random.Random(self.seed + epoch)  # detshuffle2 keying
+            rng.shuffle(shards)
+        yield from self._split(shards)
+
+
+def shuffle_buffer(
+    it: Iterator, bufsize: int, rng: random.Random
+) -> Iterator:
+    buf: List = []
+    for x in it:
+        if len(buf) < bufsize:
+            buf.append(x)
+            continue
+        idx = rng.randrange(len(buf))
+        buf[idx], x = x, buf[idx]
+        yield x
+    rng.shuffle(buf)
+    yield from buf
+
+
+def decode_sample(sample: Dict[str, bytes]):
+    """bytes -> (PIL image, caption dict) or None if not a valid pair."""
+    from PIL import Image
+
+    img_bytes = None
+    for ext in IMG_EXTS:
+        if ext in sample:
+            img_bytes = sample[ext]
+            break
+    meta = None
+    if "json" in sample:
+        try:
+            meta = json.loads(sample["json"])
+        except Exception as e:
+            log_and_continue(e)
+            return None
+    elif "txt" in sample:
+        meta = {"raw_caption": [sample["txt"].decode("utf-8", "replace")]}
+    if img_bytes is None or meta is None:
+        return None
+    try:
+        img = Image.open(io.BytesIO(img_bytes))
+        img.load()
+    except Exception as e:
+        log_and_continue(e)
+        return None
+    return img, meta

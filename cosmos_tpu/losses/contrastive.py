@@ -1,0 +1,320 @@
+"""Contrastive and self-distillation losses, TPU-first.
+
+Parity targets (/root/reference/src/open_clip/loss.py):
+  - ClipLoss (:68-142): InfoNCE averaged over all (image_view, text_view)
+    pairs.  The reference loops views in Python with one matmul each
+    (:129-141); here all V_i x V_t pair logits come from ONE batched
+    einsum -> [Vi, Vt, B, B'] so the MXU sees a single large contraction.
+  - COSMOSLoss (:145-207): 4-term cross-modal distillation (student
+    crossmodal features vs detached teacher global features, /4, with the
+    distill logit scale) + CLIP loss over student GLOBAL image crops only
+    ("not include localcrop of img in CLIPloss", :203-207).
+  - CoCaLoss (:210-253): clip + captioning CE with pad-id masking.
+  - DistillClipLoss (:256-292): soft cross-entropy vs a distilled model.
+  - SigLipLoss (:383-495): pairwise sigmoid loss; the reference's NCCL
+    P2P ring (neighbour_exchange*, :295-380) maps to lax.ppermute over
+    the ICI ring inside shard_map — autodiff handles the backward
+    permutes (no hand-written autograd.Function needed).
+
+Distributed form: when ``axis_name`` is set (inside shard_map / with a
+sharded-batch jit), features are all-gathered over the mesh axis with
+gradients flowing through the gather (the exact gradient — equivalent to
+the reference's --gather-with-grad).  With ``local_loss`` each device only
+materializes its [B_local, B_global] logit rows with rank-offset labels
+(loss.py:94-95,109-111) — never a [B_global, B_global] matrix per device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _as_views(x: jax.Array) -> jax.Array:
+    """[B, D] -> [1, B, D]; [V, B, D] stays."""
+    return x[None] if x.ndim == 2 else x
+
+
+def _cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean integer-label CE over the leading dims; logits f32 [..., N]."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return -jnp.mean(picked)
+
+
+@dataclasses.dataclass
+class ClipLoss:
+    local_loss: bool = False
+    gather_with_grad: bool = True  # exact gradient; reference default is the
+    # no-grad gather + local splice approximation (loss.py:54-63)
+    axis_name: Optional[str] = None
+
+    def _gather(self, x: jax.Array) -> jax.Array:
+        """All-gather along the batch axis of a [V, B, D] array -> [V, Bg, D]."""
+        if self.axis_name is None:
+            return x
+        g = x if self.gather_with_grad else jax.lax.stop_gradient(x)
+        gathered = jax.lax.all_gather(g, self.axis_name, axis=1, tiled=True)
+        if not self.gather_with_grad and not self.local_loss:
+            # splice the local (grad-carrying) block back in (loss.py:58-61)
+            rank = jax.lax.axis_index(self.axis_name)
+            b = x.shape[1]
+            gathered = jax.lax.dynamic_update_slice_in_dim(
+                gathered, x, rank * b, axis=1
+            )
+        return gathered
+
+    def _labels(self, num_logits: int) -> jax.Array:
+        labels = jnp.arange(num_logits, dtype=jnp.int32)
+        if self.axis_name is not None and self.local_loss:
+            labels = labels + num_logits * jax.lax.axis_index(self.axis_name)
+        return labels
+
+    def __call__(
+        self,
+        image_features: jax.Array,
+        text_features: jax.Array,
+        logit_scale: jax.Array,
+        output_dict: bool = False,
+    ):
+        img = _as_views(image_features)
+        txt = _as_views(text_features)
+        scale = logit_scale.astype(jnp.float32)
+
+        if self.axis_name is not None:
+            all_img = self._gather(img)
+            all_txt = self._gather(txt)
+            if self.local_loss:
+                q_img, q_txt = img, txt      # queries stay local [V, B, D]
+            else:
+                q_img, q_txt = all_img, all_txt
+        else:
+            all_img, all_txt = img, txt
+            q_img, q_txt = img, txt
+
+        # one batched contraction for every view pair
+        logits_per_image = scale * jnp.einsum(
+            "ibd,jkd->ijbk", q_img.astype(jnp.float32), all_txt.astype(jnp.float32)
+        )  # [Vi, Vt, Bq, Bk]
+        logits_per_text = scale * jnp.einsum(
+            "jbd,ikd->ijbk", q_txt.astype(jnp.float32), all_img.astype(jnp.float32)
+        )  # [Vi, Vt, Bq, Bk]
+
+        labels = self._labels(q_img.shape[1])
+        labels_i = jnp.broadcast_to(
+            labels, logits_per_image.shape[:-1]
+        )
+        labels_t = jnp.broadcast_to(labels, logits_per_text.shape[:-1])
+        total = 0.5 * (
+            _cross_entropy(logits_per_image, labels_i)
+            + _cross_entropy(logits_per_text, labels_t)
+        )
+        return {"contrastive_loss": total} if output_dict else total
+
+
+@dataclasses.dataclass
+class COSMOSLoss:
+    local_loss: bool = False
+    gather_with_grad: bool = True
+    axis_name: Optional[str] = None
+
+    def __post_init__(self):
+        self.clip_loss = ClipLoss(
+            local_loss=self.local_loss,
+            gather_with_grad=self.gather_with_grad,
+            axis_name=self.axis_name,
+        )
+
+    def __call__(
+        self,
+        s_image_features: jax.Array,      # [Vi, B, D] student, all crops
+        s_text_features: jax.Array,       # [Vt, B, D] student, all captions
+        logit_scale: jax.Array,
+        t_image_features: Optional[jax.Array] = None,  # [2, B, D] teacher
+        t_text_features: Optional[jax.Array] = None,   # [2, B, D] teacher
+        distill_logit_scale: Optional[jax.Array] = None,
+        s_img_crossmodal_features: Optional[jax.Array] = None,  # [Vi, B, D]
+        s_txt_crossmodal_features: Optional[jax.Array] = None,  # [Vt, B, D]
+        output_dict: bool = False,
+    ):
+        s_img = _as_views(s_image_features)
+        s_txt = _as_views(s_text_features)
+        t_img = jax.lax.stop_gradient(_as_views(t_image_features))
+        t_txt = jax.lax.stop_gradient(_as_views(t_text_features))
+        s_img_cm = _as_views(s_img_crossmodal_features)
+        s_txt_cm = _as_views(s_txt_crossmodal_features)
+        assert t_img.shape[0] == 2 and t_txt.shape[0] == 2
+
+        dscale = distill_logit_scale if distill_logit_scale is not None else logit_scale
+        cosmos_loss = (
+            self.clip_loss(s_img_cm, t_img, dscale)
+            + self.clip_loss(s_img_cm, t_txt, dscale)
+            + self.clip_loss(s_txt_cm, t_img, dscale)
+            + self.clip_loss(s_txt_cm, t_txt, dscale)
+        ) / 4.0
+
+        # CLIP loss over the 2 GLOBAL image crops x all text views
+        clip_loss = self.clip_loss(s_img[:2], s_txt, logit_scale)
+
+        if output_dict:
+            return {"distill_loss": cosmos_loss, "clip_loss": clip_loss}
+        return cosmos_loss + clip_loss
+
+
+@dataclasses.dataclass
+class CoCaLoss:
+    caption_loss_weight: float = 2.0
+    clip_loss_weight: float = 1.0
+    pad_id: int = 0
+    local_loss: bool = False
+    gather_with_grad: bool = True
+    axis_name: Optional[str] = None
+
+    def __post_init__(self):
+        self.clip_loss = ClipLoss(
+            local_loss=self.local_loss,
+            gather_with_grad=self.gather_with_grad,
+            axis_name=self.axis_name,
+        )
+
+    def __call__(
+        self,
+        image_features: jax.Array,
+        text_features: jax.Array,
+        logits: jax.Array,     # [B, L, vocab]
+        labels: jax.Array,     # [B, L]
+        logit_scale: jax.Array,
+        output_dict: bool = False,
+    ):
+        clip_loss = jnp.zeros((), jnp.float32)
+        if self.clip_loss_weight:
+            clip_loss = self.clip_loss_weight * self.clip_loss(
+                image_features, text_features, logit_scale
+            )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        valid = (labels != self.pad_id).astype(jnp.float32)
+        caption_loss = -(picked * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+        caption_loss = caption_loss * self.caption_loss_weight
+        if output_dict:
+            return {"contrastive_loss": clip_loss, "caption_loss": caption_loss}
+        return clip_loss, caption_loss
+
+
+@dataclasses.dataclass
+class DistillClipLoss(ClipLoss):
+    """CLIP loss + soft-CE distillation from a frozen teacher's logits."""
+
+    def _logits_pair(self, img, txt, scale):
+        all_img = self._gather(_as_views(img))[0]
+        all_txt = self._gather(_as_views(txt))[0]
+        q_img = _as_views(img)[0] if (self.axis_name and self.local_loss) else all_img
+        q_txt = _as_views(txt)[0] if (self.axis_name and self.local_loss) else all_txt
+        s = scale.astype(jnp.float32)
+        li = s * q_img.astype(jnp.float32) @ all_txt.astype(jnp.float32).T
+        lt = s * q_txt.astype(jnp.float32) @ all_img.astype(jnp.float32).T
+        return li, lt
+
+    @staticmethod
+    def _soft_ce(teacher_logits, student_logits):
+        t = jax.nn.softmax(teacher_logits, axis=1)
+        s = jax.nn.log_softmax(student_logits, axis=1)
+        return -(t * s).sum(axis=1).mean(axis=0)
+
+    def __call__(
+        self,
+        image_features,
+        text_features,
+        logit_scale,
+        dist_image_features,
+        dist_text_features,
+        dist_logit_scale,
+        output_dict: bool = False,
+    ):
+        li, lt = self._logits_pair(image_features, text_features, logit_scale)
+        dli, dlt = self._logits_pair(
+            jax.lax.stop_gradient(dist_image_features),
+            jax.lax.stop_gradient(dist_text_features),
+            dist_logit_scale,
+        )
+        labels = self._labels(li.shape[0])
+        contrastive = 0.5 * (_cross_entropy(li, labels) + _cross_entropy(lt, labels))
+        distill = 0.5 * (self._soft_ce(dli, li) + self._soft_ce(dlt, lt))
+        if output_dict:
+            return {"contrastive_loss": contrastive, "distill_loss": distill}
+        return contrastive, distill
+
+
+@dataclasses.dataclass
+class SigLipLoss:
+    """Pairwise sigmoid loss (loss.py:383-495).
+
+    Single-device: one [B, B] block.  Distributed (axis_name set, inside
+    shard_map): text features circulate the ICI ring via lax.ppermute,
+    each hop contributing a negatives-only block — the TPU-native
+    formulation of the reference's bidirectional NCCL P2P ring.
+    """
+
+    bidir: bool = True
+    axis_name: Optional[str] = None
+
+    def _block(self, img, txt, scale, bias, negative_only: bool):
+        logits = scale.astype(jnp.float32) * (
+            img.astype(jnp.float32) @ txt.astype(jnp.float32).T
+        )
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)
+        b = img.shape[0]
+        labels = -jnp.ones((b, txt.shape[0]), jnp.float32)
+        if not negative_only:
+            labels = labels + 2.0 * jnp.eye(b, txt.shape[0], dtype=jnp.float32)
+        return -jax.nn.log_sigmoid(labels * logits).sum() / b
+
+    def __call__(
+        self,
+        image_features: jax.Array,
+        text_features: jax.Array,
+        logit_scale: jax.Array,
+        logit_bias: Optional[jax.Array] = None,
+        output_dict: bool = False,
+    ):
+        img = _as_views(image_features)[0]
+        txt = _as_views(text_features)[0]
+        loss = self._block(img, txt, logit_scale, logit_bias, negative_only=False)
+
+        if self.axis_name is not None:
+            n = jax.lax.axis_size(self.axis_name)
+            if n > 1:
+                def right_perm():
+                    return [(i, (i + 1) % n) for i in range(n)]
+
+                def left_perm():
+                    return [(i, (i - 1) % n) for i in range(n)]
+
+                if self.bidir:
+                    num_bidir, remainder = divmod(n - 1, 2)
+                    to_left = to_right = txt
+                    for _ in range(num_bidir):
+                        recv_r = jax.lax.ppermute(to_right, self.axis_name, right_perm())
+                        recv_l = jax.lax.ppermute(to_left, self.axis_name, left_perm())
+                        for f in (recv_r, recv_l):
+                            loss += self._block(
+                                img, f, logit_scale, logit_bias, negative_only=True
+                            )
+                        to_left, to_right = recv_l, recv_r
+                    if remainder:
+                        recv = jax.lax.ppermute(to_right, self.axis_name, right_perm())
+                        loss += self._block(
+                            img, recv, logit_scale, logit_bias, negative_only=True
+                        )
+                else:
+                    frm = txt
+                    for _ in range(n - 1):
+                        frm = jax.lax.ppermute(frm, self.axis_name, right_perm())
+                        loss += self._block(
+                            img, frm, logit_scale, logit_bias, negative_only=True
+                        )
+        return {"contrastive_loss": loss} if output_dict else loss

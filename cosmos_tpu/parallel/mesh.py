@@ -1,0 +1,94 @@
+"""Device mesh setup and multihost initialization.
+
+TPU-native replacement for /root/reference/src/training/distributed.py:
+  - init_distributed_device (:63-117, NCCL process groups) →
+    jax.distributed.initialize + a jax.sharding.Mesh over all devices.
+  - rank/world discovery from env (:44-61) → jax.process_index/count.
+  - broadcast_object / all_gather_object (:120-140) →
+    jax.experimental.multihost_utils.
+
+The data axis rides ICI within a slice; across slices (multislice) the
+same axis spans DCN — the contrastive gather stays correct either way, and
+the local-loss form keeps per-device logit rows [B_local, B_global].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+DATA_AXIS = "data"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize multi-host JAX if needed; returns (process_id, num_processes).
+
+    Env-driven like the reference's world discovery: honors
+    COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID, or TPU metadata when
+    running under a TPU pod runtime (jax.distributed handles that itself).
+    """
+    coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if coordinator_address and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
+            process_id=process_id or int(os.environ.get("PROCESS_ID", "0")),
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def create_mesh(
+    num_devices: Optional[int] = None,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """1-D data mesh over all (or the first N) devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    if len(axis_names) == 1:
+        return Mesh(np.asarray(devs), tuple(axis_names))
+    raise NotImplementedError("only 1-D data meshes are used for COSMOS parity")
+
+
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch dimension over the data axis."""
+    spec = [None] * (batch_axis + 1)
+    spec[batch_axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.devices.size
+    assert global_batch % n == 0, (
+        f"global batch {global_batch} not divisible by {n} devices"
+    )
+    return global_batch // n
+
+
+def shard_batch(batch: dict, mesh: Mesh, batch_axis: int = 1) -> dict:
+    """Place a host batch dict ([V, B, ...] arrays) onto the mesh with the
+    batch axis sharded over 'data'."""
+    def _put(x):
+        spec = [None] * x.ndim
+        if x.ndim > batch_axis:
+            spec[batch_axis] = DATA_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(_put, batch)

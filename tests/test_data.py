@@ -1,0 +1,181 @@
+"""Data pipeline tests: brace expansion, tar streaming, caption sampling,
+multicrop transform shapes, and an end-to-end loader batch."""
+
+import io
+import json
+import random
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cosmos_tpu.data.caption import sample_captions, split_caption
+from cosmos_tpu.data.transforms import EvalTransform, MulticropAugmentation
+from cosmos_tpu.data.webdataset import (
+    ShardedShardList,
+    braceexpand,
+    decode_sample,
+    expand_urls,
+    tar_to_samples,
+)
+
+
+def _make_shard(path, n, seed=0):
+    rng = np.random.default_rng(seed)
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            key = f"{seed:03d}{i:05d}"
+            img = Image.fromarray(
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            )
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            data = buf.getvalue()
+            ti = tarfile.TarInfo(f"{key}.jpg")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+            meta = json.dumps(
+                {
+                    "raw_caption": [f"sample {i} from shard {seed}"],
+                    "shortIB_captions": ["a short caption"],
+                    "shortSV_captions": [],
+                    "shortLLA_captions": [],
+                    "longIB_captions": ["a much longer caption. with two parts"],
+                    "longSV_captions": [],
+                    "longLLA_captions": [],
+                }
+            ).encode()
+            tj = tarfile.TarInfo(f"{key}.json")
+            tj.size = len(meta)
+            tf.addfile(tj, io.BytesIO(meta))
+    return str(path)
+
+
+def test_braceexpand():
+    assert braceexpand("x-{0000..0003}.tar") == [
+        "x-0000.tar", "x-0001.tar", "x-0002.tar", "x-0003.tar"
+    ]
+    assert braceexpand("{a,b}/{01..02}.tar") == [
+        "a/01.tar", "a/02.tar", "b/01.tar", "b/02.tar"
+    ]
+    assert braceexpand("plain.tar") == ["plain.tar"]
+
+
+def test_expand_urls_weighted():
+    urls, w = expand_urls("a-{00..01}.tar::b.tar", "2::1")
+    assert urls == ["a-00.tar", "a-01.tar", "b.tar"]
+    assert w == [2.0, 2.0, 1.0]
+
+
+def test_tar_to_samples(tmp_path):
+    shard = _make_shard(tmp_path / "s.tar", 5)
+    samples = list(tar_to_samples(shard))
+    assert len(samples) == 5
+    img, meta = decode_sample(samples[0])
+    assert img.size == (64, 64)
+    assert "raw_caption" in meta
+
+
+def test_shard_split_disjoint_and_complete():
+    urls = [f"s{i}.tar" for i in range(16)]
+    seen = []
+    for host in range(2):
+        for worker in range(2):
+            sl = ShardedShardList(
+                urls, shuffle=True, seed=7,
+                process_index=host, process_count=2,
+                worker_index=worker, worker_count=2,
+            )
+            seen.append(list(sl.epoch_shards(epoch=3)))
+    flat = sum(seen, [])
+    assert sorted(flat) == sorted(urls)          # complete cover
+    assert len(set(flat)) == len(flat)           # disjoint
+    # deterministic across calls
+    again = list(
+        ShardedShardList(urls, shuffle=True, seed=7, process_index=0,
+                         process_count=2, worker_index=0,
+                         worker_count=2).epoch_shards(3)
+    )
+    assert again == seen[0]
+    # different epoch -> different order
+    other = list(
+        ShardedShardList(urls, shuffle=True, seed=7, process_index=0,
+                         process_count=2, worker_index=0,
+                         worker_count=2).epoch_shards(4)
+    )
+    assert sorted(other) != sorted(again) or other != again
+
+
+def test_caption_textcrop():
+    meta = {
+        "raw_caption": ["base caption"],
+        "shortIB_captions": ["short one"],
+        "shortSV_captions": ["short two"],
+        "shortLLA_captions": [],
+        "longIB_captions": ["long one"],
+        "longSV_captions": [],
+        "longLLA_captions": ["long two"],
+    }
+    rng = random.Random(0)
+    caps = sample_captions(meta, k=8, sampling_mode="textcrop", rng=rng)
+    assert len(caps) == 8
+    # global captions may join multiple sentences with '. '
+    assert all(isinstance(c, str) and c for c in caps)
+
+
+def test_split_caption():
+    assert split_caption("One. Two.\nThree</s>Four") == [
+        "One", "Two", "Three", "Four"
+    ]
+
+
+def test_multicrop_shapes():
+    aug = MulticropAugmentation(image_size=32, local_size=16,
+                                local_crops_number=4, crop_scale=0.4,
+                                as_uint8=True)
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (80, 100, 3), dtype=np.uint8)
+    )
+    crops = aug(img, random.Random(0))
+    assert len(crops) == 6
+    assert crops[0].shape == (32, 32, 3) and crops[0].dtype == np.uint8
+    assert crops[2].shape == (16, 16, 3)
+    # determinism with the same rng seed
+    crops2 = aug(img, random.Random(0))
+    np.testing.assert_array_equal(crops[0], crops2[0])
+
+
+def test_eval_transform():
+    t = EvalTransform(image_size=32)
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (80, 100, 3), dtype=np.uint8)
+    )
+    out = t(img)
+    assert out.shape == (32, 32, 3)
+    assert out.dtype == np.float32
+
+
+def test_loader_end_to_end(tmp_path):
+    from cosmos_tpu.data.loader import WdsTrainConfig, WdsTrainLoader
+
+    shards = [_make_shard(tmp_path / f"s{i}.tar", 8, seed=i) for i in range(2)]
+    cfg = WdsTrainConfig(
+        urls=shards,
+        batch_size=4,
+        num_workers=0,      # inline thread path for tests
+        local_crops_number=2,
+        image_size=32,
+        local_size=16,
+        num_sampled_captions=4,
+        context_length=16,
+        shuffle_buffer=4,
+    )
+    loader = WdsTrainLoader(cfg)
+    it = iter(loader)
+    batch = next(it)
+    assert batch["global_images"].shape == (2, 4, 32, 32, 3)
+    assert batch["global_images"].dtype == np.uint8
+    assert batch["local_images"].shape == (2, 4, 16, 16, 3)
+    assert batch["texts"].shape == (4, 4, 16)
+    assert batch["texts"].dtype == np.int32

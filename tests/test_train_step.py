@@ -1,0 +1,148 @@
+"""End-to-end train-step tests on the 8-device CPU mesh: loss decreases,
+EMA ordering, logit-scale clamping, determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosmos_tpu.models.factory import create_model
+from cosmos_tpu.parallel.mesh import create_mesh
+from cosmos_tpu.training.scheduler import cosine_lr, cosine_scheduler
+from cosmos_tpu.training.train import (
+    TrainStepConfig,
+    create_optimizer,
+    create_train_state,
+    make_train_step,
+)
+
+TINY = {
+    "embed_dim": 32,
+    "vision_image_size": 16,
+    "vision_patch_size": 8,
+    "vision_width": 32,
+    "vision_layers": 2,
+    "vision_head_width": 16,
+    "text_context_length": 12,
+    "text_vocab_size": 128,
+    "text_width": 32,
+    "text_heads": 2,
+    "text_layers": 2,
+}
+
+
+def make_batch(key, b=16, n_local=2, k=3):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "global_images": jax.random.normal(k1, (2, b, 16, 16, 3)),
+        "local_images": jax.random.normal(k2, (n_local, b, 8, 8, 3)),
+        "texts": jax.random.randint(k3, (k, b, 12), 1, 127),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, params = create_model(
+        "ViT-B-16", cosmos=True, output_all=True,
+        attentional_pool=True, add_zero_attn=True, **TINY
+    )
+    mesh = create_mesh(8)
+    lr = cosine_lr(1e-3, 5, 100)
+    optimizer = create_optimizer(lr, weight_decay=0.1, grad_clip_norm=1.0)
+    cfg = TrainStepConfig(
+        cosmos=True,
+        momentum_schedule=cosine_scheduler(0.99, 1.0, 0, 100),
+        fix_momentum=False,
+        lr_schedule=lr,
+    )
+    step_fn = make_train_step(model, optimizer, mesh, cfg)
+
+    def fresh_state():
+        # step donates its input state, so each test needs its own copy
+        return create_train_state(jax.tree.map(jnp.copy, params), optimizer)
+
+    return model, step_fn, fresh_state, mesh
+
+
+def test_loss_decreases(setup):
+    _, step_fn, fresh_state, _ = setup
+    state = fresh_state()
+    batch = make_batch(jax.random.PRNGKey(0))
+    losses = []
+    for _ in range(8):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+    assert float(state.step) == 8
+
+
+def test_metrics_keys(setup):
+    _, step_fn, fresh_state, _ = setup
+    state = fresh_state()
+    state, metrics = step_fn(state, make_batch(jax.random.PRNGKey(1)))
+    for key in ("loss", "distill_loss", "clip_loss", "grad_norm",
+                "momentum", "lr", "logit_scale"):
+        assert key in metrics, key
+        assert np.isfinite(float(metrics[key])), key
+
+
+def test_ema_uses_pre_update_student(setup):
+    """teacher_{t+1} = m*teacher_t + (1-m)*student_t (NOT student_{t+1})."""
+    model, step_fn, fresh_state, _ = setup
+    state = fresh_state()
+    batch = make_batch(jax.random.PRNGKey(2))
+    # snapshot to host BEFORE stepping: the step donates the state buffers
+    old_student = np.asarray(state.params["visual"]["class_embedding"])
+    old_teacher = np.asarray(state.teacher_params["visual"]["class_embedding"])
+    new_state, metrics = step_fn(state, batch)
+    m = float(metrics["momentum"])
+    expected = m * np.asarray(old_teacher) + (1 - m) * np.asarray(old_student)
+    np.testing.assert_allclose(
+        np.asarray(new_state.teacher_params["visual"]["class_embedding"]),
+        expected,
+        rtol=1e-5,
+        atol=1e-7,
+    )
+
+
+def test_logit_scale_clamped(setup):
+    model, step_fn, fresh_state, _ = setup
+    state = fresh_state()
+    # force the scales above the clamp
+    params = dict(state.params)
+    params["logit_scale"] = jnp.asarray(10.0)
+    params["distill_logit_scale"] = jnp.asarray(10.0)
+    state = state.replace(params=params)
+    new_state, _ = step_fn(state, make_batch(jax.random.PRNGKey(3)))
+    assert float(new_state.params["logit_scale"]) <= 4.60518
+    assert float(new_state.params["distill_logit_scale"]) <= 4.60518
+    assert float(new_state.teacher_params["logit_scale"]) <= 4.60518
+
+
+def test_weight_decay_mask():
+    from cosmos_tpu.training.train import wd_mask
+
+    model, params = create_model(
+        "ViT-B-16", cosmos=True, output_all=True,
+        attentional_pool=True, add_zero_attn=True, **TINY
+    )
+    mask = wd_mask(params)
+    # logit scales and LN params exempt; projection matrices decayed
+    assert mask["logit_scale"] is False
+    assert mask["visual"]["ln_post"]["scale"] is False
+    assert mask["visual"]["proj"] is True
+    assert mask["text"]["token_embedding"]["embedding"] is True
+    assert mask["visual"]["class_embedding"] is False  # ndim 1
+
+
+def test_clip_mode_no_teacher_needed():
+    model, params = create_model("ViT-B-16", **TINY)
+    mesh = create_mesh(8)
+    optimizer = create_optimizer(cosine_lr(1e-3, 0, 10))
+    cfg = TrainStepConfig(cosmos=False)
+    step_fn = make_train_step(model, optimizer, mesh, cfg)
+    state = create_train_state(params, optimizer)
+    batch = make_batch(jax.random.PRNGKey(0), k=1, n_local=2)
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
