@@ -86,7 +86,10 @@ def create_model(
         params = init_model_params(model, seed=seed)
     if pretrained:
         from .checkpoint import load_checkpoint
-        params = load_checkpoint(model, params, pretrained)
+        from .pretrained import resolve_pretrained
+
+        path = resolve_pretrained(model_name, pretrained)
+        params = load_checkpoint(model, params, path)
     return model, params
 
 

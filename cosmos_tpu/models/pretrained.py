@@ -1,0 +1,148 @@
+"""Pretrained checkpoint registry + download dispatch.
+
+Parity target: /root/reference/src/open_clip/pretrained.py (the _PRETRAINED
+model->tag->cfg registry, get_pretrained_cfg :550, download dispatch
+:626) and main.py:74-80 (COSMOS weights from the sankim2/cosmos HF repo).
+
+The registry lists the released COSMOS checkpoints (README.md:20-29) with
+their published eval numbers so evaluation parity can be asserted.
+Downloads require network; in offline environments pass a local path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import urllib.request
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+logger = logging.getLogger(__name__)
+
+COSMOS_HF_REPO = "sankim2/cosmos"
+
+_DATASETS = ("cc3m", "cc12m", "yfcc15m", "merged30m", "pixelprose")
+
+# model name -> tag -> cfg
+_PRETRAINED: Dict[str, Dict[str, Dict[str, Any]]] = {}
+
+
+def _cosmos_cfg(arch: str, dataset: str, metrics) -> Dict[str, Any]:
+    fname = f"cosmos_vit{arch}_{dataset}.pt"
+    return {
+        "hf_repo": COSMOS_HF_REPO,
+        "hf_filename": fname,
+        "url": f"https://huggingface.co/{COSMOS_HF_REPO}/resolve/main/{fname}",
+        "mean": (0.48145466, 0.4578275, 0.40821073),
+        "std": (0.26862954, 0.26130258, 0.27577711),
+        "cosmos": True,
+        "metrics": dict(
+            zip(
+                ("coco_i2t_r1", "coco_t2i_r1", "flickr_i2t_r1",
+                 "flickr_t2i_r1", "imagenet_top1"),
+                metrics,
+            )
+        ),
+    }
+
+
+# published numbers, README.md:20-29 (see BASELINE.md)
+_B16_METRICS = {
+    "cc3m": (53.1, 40.1, 84.1, 68.6, 37.1),
+    "cc12m": (64.2, 48.9, 91.4, 76.2, 51.4),
+    "yfcc15m": (67.5, 50.9, 92.6, 79.6, 52.4),
+    "merged30m": (68.0, 52.5, 92.9, 80.3, 57.6),
+    "pixelprose": (62.4, 43.4, 89.9, 73.6, 59.6),
+}
+_B32_METRICS = {
+    "cc3m": (47.6, 33.5, 74.3, 59.2, 33.0),
+    "cc12m": (59.6, 43.0, 86.5, 69.8, 46.7),
+    "yfcc15m": (64.5, 46.0, 90.2, 73.3, 48.1),
+    "merged30m": (64.3, 48.4, 89.9, 76.1, 53.4),
+    "pixelprose": (57.2, 38.9, 85.6, 66.3, 54.3),
+}
+
+_PRETRAINED["ViT-B-16"] = {
+    f"cosmos_{ds}": _cosmos_cfg("b16", ds, m) for ds, m in _B16_METRICS.items()
+}
+_PRETRAINED["ViT-B-32"] = {
+    f"cosmos_{ds}": _cosmos_cfg("b32", ds, m) for ds, m in _B32_METRICS.items()
+}
+
+
+def list_pretrained() -> List[str]:
+    return [
+        f"{model}:{tag}" for model, tags in _PRETRAINED.items() for tag in tags
+    ]
+
+
+def list_pretrained_tags_by_model(model: str) -> List[str]:
+    return list(_PRETRAINED.get(model, {}))
+
+
+def get_pretrained_cfg(model: str, tag: str) -> Dict[str, Any]:
+    return _PRETRAINED.get(model, {}).get(tag, {})
+
+
+def default_cache_dir() -> str:
+    return os.environ.get(
+        "COSMOS_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "cosmos_tpu"),
+    )
+
+
+def download_pretrained_from_url(url: str, cache_dir: Optional[str] = None,
+                                 expected_sha256: Optional[str] = None) -> str:
+    cache_dir = cache_dir or default_cache_dir()
+    os.makedirs(cache_dir, exist_ok=True)
+    target = Path(cache_dir) / Path(url.split("?")[0]).name
+    if not target.exists():
+        logger.info(f"downloading {url} -> {target}")
+        urllib.request.urlretrieve(url, target)
+    if expected_sha256:
+        digest = hashlib.sha256(target.read_bytes()).hexdigest()
+        if not digest.startswith(expected_sha256):
+            raise RuntimeError(f"sha256 mismatch for {target}")
+    return str(target)
+
+
+def download_pretrained_from_hf(repo_id: str, filename: str,
+                                cache_dir: Optional[str] = None) -> str:
+    from huggingface_hub import hf_hub_download
+
+    return hf_hub_download(
+        repo_id=repo_id, filename=filename,
+        cache_dir=cache_dir or default_cache_dir(),
+    )
+
+
+def download_pretrained(cfg: Dict[str, Any],
+                        cache_dir: Optional[str] = None) -> str:
+    """Dispatch: local file > HF hub > raw URL (pretrained.py:626)."""
+    if "file" in cfg:
+        return cfg["file"]
+    if cfg.get("hf_repo"):
+        try:
+            return download_pretrained_from_hf(
+                cfg["hf_repo"], cfg["hf_filename"], cache_dir
+            )
+        except Exception as e:
+            logger.warning(f"HF download failed ({e}); trying raw URL")
+    if cfg.get("url"):
+        return download_pretrained_from_url(cfg["url"], cache_dir)
+    raise ValueError(f"no download source in pretrained cfg: {cfg}")
+
+
+def resolve_pretrained(model_name: str, pretrained: str,
+                       cache_dir: Optional[str] = None) -> str:
+    """Tag or path -> local checkpoint path."""
+    if os.path.exists(pretrained):
+        return pretrained
+    cfg = get_pretrained_cfg(model_name, pretrained)
+    if not cfg:
+        raise ValueError(
+            f"unknown pretrained tag {pretrained!r} for {model_name}; "
+            f"available: {list_pretrained_tags_by_model(model_name)}"
+        )
+    return download_pretrained(cfg, cache_dir)

@@ -1,0 +1,118 @@
+"""Training checkpoint save/resume via Orbax.
+
+Parity targets:
+  - /root/reference/src/main.py:551-584: per-epoch checkpoint dicts
+    {epoch, name, student, teacher, optimizer[, scaler]} + an atomic
+    'epoch_latest' pointer (tmp + os.replace), optional
+    delete-previous-checkpoint.
+  - /root/reference/src/main.py:150-188: --resume latest discovery of the
+    newest checkpoint (local or remote), path broadcast from rank 0.
+  - /root/reference/src/main.py:406-435: resume restores student, teacher
+    and optimizer state.
+
+Here one Orbax StandardCheckpointer snapshot holds the whole TrainState
+pytree (student + teacher + opt_state + step) plus a config json — unlike
+the reference, checkpoints carry their config.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+LATEST_NAME = "epoch_latest"
+
+
+def _ckpt_dir(base: str, epoch: int) -> Path:
+    return Path(base) / f"epoch_{epoch}"
+
+
+def save_checkpoint(
+    state,
+    checkpoint_path: str,
+    epoch: int,
+    *,
+    name: str = "",
+    config: Optional[Dict[str, Any]] = None,
+    save_latest: bool = True,
+    delete_previous: bool = False,
+) -> str:
+    import orbax.checkpoint as ocp
+
+    base = Path(checkpoint_path)
+    base.mkdir(parents=True, exist_ok=True)
+    path = _ckpt_dir(checkpoint_path, epoch)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path.resolve(), jax.device_get(state), force=True)
+    meta = {"epoch": epoch, "name": name, "config": config or {}}
+    (path / "meta.json").write_text(json.dumps(meta))
+
+    if save_latest:
+        # atomic latest pointer (main.py:578-584 tmp+replace equivalent)
+        tmp = base / (LATEST_NAME + ".tmp")
+        tmp.write_text(str(path.name))
+        os.replace(tmp, base / LATEST_NAME)
+    if delete_previous:
+        prev = _ckpt_dir(checkpoint_path, epoch - 1)
+        if prev.exists():
+            shutil.rmtree(prev)
+    logger.info(f"saved checkpoint {path}")
+    return str(path)
+
+
+def get_latest_checkpoint(checkpoint_path: str) -> Optional[str]:
+    """Newest epoch_N dir, preferring the atomic latest pointer
+    (main.py:57-72 get_latest_checkpoint equivalent)."""
+    base = Path(checkpoint_path)
+    pointer = base / LATEST_NAME
+    if pointer.exists():
+        cand = base / pointer.read_text().strip()
+        if cand.exists():
+            return str(cand)
+    epochs = []
+    for p in base.glob("epoch_*"):
+        m = re.fullmatch(r"epoch_(\d+)", p.name)
+        if m:
+            epochs.append((int(m.group(1)), p))
+    if not epochs:
+        return None
+    return str(max(epochs)[1])
+
+
+def restore_checkpoint(state_template, path: str):
+    """Restore a TrainState snapshot; returns (state, epoch)."""
+    import orbax.checkpoint as ocp
+
+    p = Path(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(p.resolve(), jax.device_get(state_template))
+    meta = {}
+    meta_file = p / "meta.json"
+    if meta_file.exists():
+        meta = json.loads(meta_file.read_text())
+    return state, int(meta.get("epoch", 0))
+
+
+def save_params_msgpack(params, path: str) -> None:
+    """Standalone weights export (inference interchange)."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+
+
+def load_params_msgpack(params_template, path: str):
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(params_template, f.read())

@@ -1,0 +1,202 @@
+"""get_data: assemble train/val/eval loaders from trainer args.
+
+Parity target: /root/reference/src/training/data.py:915-957 get_data
+dispatch -> {'train': DataInfo, 'val': ..., 'coco-retrieval': ...,
+'flickr-retrieval': ..., 'imagenet-val': ..., <classification sets>}.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import random
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from cosmos_tpu.data.caption import sample_captions
+from cosmos_tpu.data.datasets import RetrievalData, ImageFolderDataset, SyntheticDataset
+from cosmos_tpu.data.loader import (
+    DataInfo,
+    MapDatasetLoader,
+    WdsTrainConfig,
+    WdsTrainLoader,
+)
+from cosmos_tpu.data.transforms import EvalTransform, MulticropAugmentation
+from cosmos_tpu.data.webdataset import expand_urls
+
+logger = logging.getLogger(__name__)
+
+
+class SyntheticTrainLoader:
+    """Batches from SyntheticDataset shaped like the wds train stream."""
+
+    def __init__(self, cfg: WdsTrainConfig, num_samples: int = 4096):
+        from cosmos_tpu.data.tokenizer import SimpleTokenizer
+
+        self.cfg = cfg
+        self.dataset = SyntheticDataset(num_samples, image_size=cfg.image_size)
+        self.tokenizer = SimpleTokenizer(context_length=cfg.context_length)
+        self.transform = MulticropAugmentation(
+            image_size=cfg.image_size,
+            local_crops_number=cfg.local_crops_number,
+            crop_scale=cfg.crop_scale,
+            local_size=cfg.local_size,
+            as_uint8=True,
+        )
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = random.Random(self.cfg.seed + self._epoch)
+        idx = 0
+        while True:
+            crops_list, tokens_list = [], []
+            for _ in range(self.cfg.batch_size):
+                img, meta = self.dataset[idx % len(self.dataset)]
+                idx += 1
+                crops_list.append(self.transform(img, rng))
+                caps = sample_captions(
+                    meta, self.cfg.num_sampled_captions,
+                    self.cfg.caption_sampling_mode, rng,
+                )
+                tokens_list.append(self.tokenizer(caps))
+            g = self.cfg.global_crops_number
+            n = self.cfg.local_crops_number
+            batch = {
+                "global_images": np.stack(
+                    [np.stack([c[v] for c in crops_list]) for v in range(g)]
+                ),
+                "texts": np.stack(
+                    [np.stack([t[v] for t in tokens_list])
+                     for v in range(tokens_list[0].shape[0])]
+                ),
+            }
+            if n:
+                batch["local_images"] = np.stack(
+                    [np.stack([c[g + v] for c in crops_list]) for v in range(n)]
+                )
+            yield batch
+
+
+class _LabeledImageLoader:
+    """(images, labels) batches from a map dataset with an eval transform."""
+
+    def __init__(self, dataset, batch_size, num_threads=16):
+        self.inner = MapDatasetLoader(dataset, batch_size, num_threads)
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        yield from self.inner
+
+
+def _detect_dataset_type(args) -> str:
+    if args.dataset_type != "auto":
+        return args.dataset_type
+    if args.train_data is None:
+        return "none"
+    ext = args.train_data.split(".")[-1]
+    if ext in ("csv", "tsv"):
+        return "csv"
+    return "webdataset"
+
+
+def make_train_config(args, process_index: int = 0, process_count: int = 1,
+                      local_device_count: int = 1) -> WdsTrainConfig:
+    urls, weights = expand_urls(
+        args.train_data or "", args.train_data_upsampling_factors
+    )
+    return WdsTrainConfig(
+        urls=urls,
+        weights=weights,
+        batch_size=args.batch_size * local_device_count,
+        num_workers=args.workers,
+        global_crops_number=args.global_crops_number,
+        local_crops_number=args.local_crops_number if args.use_imagecrop_aug else 0,
+        image_size=getattr(args, "image_size", 224),
+        crop_scale=args.crop_scale,
+        num_sampled_captions=(
+            args.num_sampled_captions if args.caption_sampling_mode != "raw" else 1
+        ),
+        caption_sampling_mode=args.caption_sampling_mode,
+        context_length=getattr(args, "context_length", 77),
+        seed=args.seed,
+        process_index=process_index,
+        process_count=process_count,
+        resampled=args.dataset_resampled,
+        use_multicrop=args.use_imagecrop_aug,
+    )
+
+
+def get_data(
+    args,
+    tokenizer,
+    *,
+    process_index: int = 0,
+    process_count: int = 1,
+    local_device_count: int = 1,
+    image_size: int = 224,
+    context_length: int = 77,
+) -> Dict[str, object]:
+    data: Dict[str, object] = {}
+    args.image_size = image_size
+    args.context_length = context_length
+    dtype = _detect_dataset_type(args)
+    global_batch = args.batch_size * local_device_count * process_count
+
+    if dtype in ("webdataset", "synthetic"):
+        cfg = make_train_config(args, process_index, process_count,
+                                local_device_count)
+        if dtype == "synthetic":
+            loader = SyntheticTrainLoader(cfg, num_samples=args.train_num_samples
+                                          or 4096)
+            num_samples = args.train_num_samples or 4096
+        else:
+            loader = WdsTrainLoader(cfg)
+            if not args.train_num_samples:
+                raise ValueError(
+                    "--train-num-samples is required for webdataset training"
+                )
+            num_samples = args.train_num_samples
+        num_batches = args.steps_per_epoch or max(1, num_samples // global_batch)
+        data["train"] = DataInfo(loader, num_samples, num_batches)
+    elif dtype == "csv":
+        raise NotImplementedError(
+            "csv training: use webdataset shards or synthetic for now"
+        )
+
+    eval_tf = EvalTransform(image_size=image_size)
+
+    if args.data_root_dir:
+        coco_dir = os.path.join(args.data_root_dir, "coco")
+        flickr_dir = os.path.join(args.data_root_dir, "flickr30k-images")
+        if os.path.isdir(coco_dir):
+            data["coco-retrieval"] = RetrievalData.load(
+                "coco", coco_dir, tokenizer
+            )
+        if os.path.isdir(flickr_dir):
+            data["flickr-retrieval"] = RetrievalData.load(
+                "flickr", flickr_dir, tokenizer, split="test"
+            )
+
+    if args.imagenet_val:
+        ds = ImageFolderDataset(args.imagenet_val, transform=eval_tf)
+        data["imagenet-val"] = _LabeledImageLoader(ds, args.batch_size)
+
+    if args.classification_data_dir and args.zeroshot_eval_datasets:
+        for name in args.zeroshot_eval_datasets.split(","):
+            name = name.strip()
+            if not name:
+                continue
+            root = os.path.join(args.classification_data_dir, name)
+            if os.path.isdir(root):
+                ds = ImageFolderDataset(root, transform=eval_tf)
+                data[name] = _LabeledImageLoader(ds, args.batch_size)
+            else:
+                logger.warning(f"classification dataset dir missing: {root}")
+
+    return data

@@ -1,0 +1,166 @@
+"""Evaluation orchestration for train-loop and eval-only runs.
+
+Parity targets (/root/reference/src/training/train.py):
+  - evaluate (:325-424): runs retrieval + zero-shot for student AND the
+    EMA teacher each eval epoch, merges metric dicts, appends to
+    results.jsonl.
+  - zeroshot_evaluate_retrieval (:427), zeroshot_evaluate_classification
+    (:477).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosmos_tpu.data.datasets import RetrievalData
+from cosmos_tpu.data.loader import MapDatasetLoader
+from cosmos_tpu.data.transforms import EvalTransform
+from cosmos_tpu.training.retrieval import encode_in_batches, evaluate_retrieval
+from cosmos_tpu.training.zero_shot import (
+    zero_shot_classification_eval,
+    zero_shot_eval,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class RetrievalImageDataset:
+    """(eval-transformed image, raw image id) pairs for one retrieval set."""
+
+    def __init__(self, data: RetrievalData, image_size: int = 224):
+        self.data = data
+        self.transform = EvalTransform(image_size=image_size)
+
+    def __len__(self):
+        return len(self.data.image_paths)
+
+    def __getitem__(self, idx):
+        from PIL import Image
+
+        img = Image.open(self.data.image_paths[idx]).convert("RGB")
+        return self.transform(img), self.data.image_ids[idx]
+
+
+def make_encoders(model, params):
+    """Jitted normalized encoders over fixed batch shapes."""
+
+    @jax.jit
+    def enc_image(p, images):
+        out = model.apply({"params": p}, images, True, method=model.encode_image)
+        return out["image_features"]
+
+    @jax.jit
+    def enc_text_norm(p, tokens):
+        out = model.apply({"params": p}, tokens, True, method=model.encode_text)
+        return out["text_features"]
+
+    @jax.jit
+    def enc_text_raw(p, tokens):
+        out = model.apply({"params": p}, tokens, False, method=model.encode_text)
+        return out["text_features"]
+
+    return (
+        functools.partial(enc_image, params),
+        functools.partial(enc_text_norm, params),
+        functools.partial(enc_text_raw, params),
+    )
+
+
+def evaluate_model(
+    model,
+    params,
+    tokenizer,
+    data: Dict,
+    *,
+    prefix: str = "",
+    batch_size: int = 256,
+    image_size: int = 224,
+) -> Dict[str, float]:
+    """Run every eval the data dict carries for one set of weights."""
+    enc_image, enc_text_norm, enc_text_raw = make_encoders(model, params)
+    metrics: Dict[str, float] = {}
+
+    for name in ("coco-retrieval", "flickr-retrieval"):
+        if name in data:
+            rd: RetrievalData = data[name]
+            img_loader = MapDatasetLoader(
+                RetrievalImageDataset(rd, image_size), batch_size
+            )
+            m = evaluate_retrieval(
+                enc_image,
+                lambda t: enc_text_norm(jnp.asarray(np.asarray(t, np.int32))),
+                rd,
+                img_loader,
+                batch_size=batch_size,
+                prefix=f"{prefix}{name.split('-')[0]}_",
+            )
+            metrics.update(m)
+            logger.info(f"{name} [{prefix or 'student'}]: "
+                        + json.dumps({k: round(v, 4) for k, v in m.items()}))
+
+    if "imagenet-val" in data or "imagenet-v2" in data:
+        m = zero_shot_eval(
+            enc_image,
+            lambda t: enc_text_raw(jnp.asarray(np.asarray(t, np.int32))),
+            tokenizer,
+            data,
+        )
+        metrics.update({f"{prefix}{k}": v for k, v in m.items()})
+        logger.info(f"imagenet [{prefix or 'student'}]: {m}")
+
+    from cosmos_tpu.training.zero_shot import CLASSIFICATION_DATASETS
+
+    for name in CLASSIFICATION_DATASETS:
+        if name in data:
+            m = zero_shot_classification_eval(
+                enc_image,
+                lambda t: enc_text_raw(jnp.asarray(np.asarray(t, np.int32))),
+                tokenizer,
+                name,
+                data[name],
+            )
+            metrics.update({f"{prefix}{k}": v for k, v in m.items()})
+            logger.info(f"{name} [{prefix or 'student'}]: {m}")
+
+    return metrics
+
+
+def evaluate(
+    model,
+    state,
+    tokenizer,
+    data: Dict,
+    epoch: int,
+    args,
+) -> Dict[str, float]:
+    """Student + EMA-teacher evaluation (train.py:325-424 surface)."""
+    metrics: Dict[str, float] = {"epoch": epoch}
+    metrics.update(
+        evaluate_model(
+            model, state.params, tokenizer, data,
+            prefix="", batch_size=args.batch_size,
+        )
+    )
+    if getattr(args, "eval_teacher", True) and state.teacher_params is not None:
+        metrics.update(
+            evaluate_model(
+                model, state.teacher_params, tokenizer, data,
+                prefix="ema_", batch_size=args.batch_size,
+            )
+        )
+    if getattr(args, "checkpoint_path", None):
+        results_file = os.path.join(
+            os.path.dirname(args.checkpoint_path), "results.jsonl"
+        )
+        os.makedirs(os.path.dirname(results_file), exist_ok=True)
+        with open(results_file, "a") as f:
+            f.write(json.dumps(metrics) + "\n")
+    return metrics

@@ -1,0 +1,82 @@
+"""Remote checkpoint sync + remote-capable file loading.
+
+Parity target: /root/reference/src/training/file_utils.py:
+  - remote_sync_s3 via `aws s3 sync` subprocess (:10-18);
+  - fsspec-based sync (:20-52);
+  - background sync process on a frequency (:54-61);
+  - pt_load for s3:// paths via fsspec (:69-75).
+"""
+
+from __future__ import annotations
+
+import logging
+import multiprocessing as mp
+import os
+import subprocess
+import time
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+
+def remote_sync_s3(local_dir: str, remote_dir: str) -> bool:
+    result = subprocess.run(
+        ["aws", "s3", "sync", local_dir, remote_dir, "--exclude", "*epoch_latest*"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+    )
+    if result.returncode != 0:
+        logger.error(f"remote sync failed: {result.stderr.decode()[:500]}")
+        return False
+    logger.info("remote sync successful")
+    return True
+
+
+def remote_sync_fsspec(local_dir: str, remote_dir: str) -> bool:
+    try:
+        import fsspec
+
+        a = fsspec.get_mapper(local_dir)
+        b = fsspec.get_mapper(remote_dir)
+        for k in a:
+            if "epoch_latest" in k:
+                continue
+            if k not in b or len(a[k]) != len(b[k]):
+                b[k] = a[k]
+        return True
+    except Exception as e:
+        logger.error(f"fsspec sync error: {e}")
+        return False
+
+
+def remote_sync(local_dir: str, remote_dir: str, protocol: str = "s3") -> bool:
+    if protocol == "s3":
+        return remote_sync_s3(local_dir, remote_dir)
+    return remote_sync_fsspec(local_dir, remote_dir)
+
+
+def _keep_running_remote_sync(sync_every: float, local_dir: str,
+                              remote_dir: str, protocol: str) -> None:
+    while True:
+        time.sleep(sync_every)
+        remote_sync(local_dir, remote_dir, protocol)
+
+
+def start_sync_process(sync_every: float, local_dir: str, remote_dir: str,
+                       protocol: str = "s3"):
+    """Background daemon process syncing checkpoints (file_utils.py:54-61)."""
+    p = mp.get_context("forkserver").Process(
+        target=_keep_running_remote_sync,
+        args=(sync_every, local_dir, remote_dir, protocol),
+        daemon=True,
+    )
+    return p
+
+
+def remote_open(path: str, mode: str = "rb"):
+    """Open local or remote (s3://, gs://) paths via fsspec."""
+    if path.startswith(("s3://", "gs://", "http://", "https://")):
+        import fsspec
+
+        return fsspec.open(path, mode).open()
+    return open(path, mode)

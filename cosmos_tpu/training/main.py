@@ -1,0 +1,365 @@
+"""Training / evaluation entry point.
+
+Parity target: /root/reference/src/main.py:82-623 — argument parsing,
+distributed init, experiment naming, model + EMA teacher construction,
+optimizer with weight-decay split, schedulers, resume (incl. 'latest'
+discovery and HF weights), the epoch loop with per-epoch checkpointing,
+in-loop eval, and the eval-only dispatch modes.
+
+TPU redesign: one process per HOST (not per device) driving all local
+devices through the mesh; the teacher lives inside the TrainState pytree
+(no deepcopy/DDP); the EMA update, clamps and schedules are fused into
+the jitted step.
+
+Usage:  python -m cosmos_tpu.training.main --model ViT-B-16 --cosmos ...
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def random_seed(seed: int = 42) -> None:
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def experiment_name(args) -> str:
+    """Auto-name from date/model/lr/batch (main.py:103-118)."""
+    if args.name:
+        return args.name
+    date_str = datetime.datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+    return "-".join(
+        [
+            date_str,
+            f"model_{args.model.replace('/', '-')}",
+            f"lr_{args.lr}",
+            f"b_{args.batch_size}",
+        ]
+    )
+
+
+def main(argv=None) -> Dict:
+    from cosmos_tpu.training.params import parse_args
+
+    args = parse_args(argv)
+
+    import jax
+
+    from cosmos_tpu.models.factory import create_model, get_tokenizer
+    from cosmos_tpu.parallel.mesh import (
+        create_mesh,
+        init_distributed,
+        shard_batch,
+    )
+    from cosmos_tpu.training.checkpoint import (
+        get_latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from cosmos_tpu.training.data_pipeline import get_data
+    from cosmos_tpu.training.evaluate import evaluate
+    from cosmos_tpu.training.logger import setup_logging
+    from cosmos_tpu.training.scheduler import cosine_scheduler, get_lr_scheduler
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    random_seed(args.seed)
+    process_index, process_count = init_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
+    is_master = process_index == 0
+
+    args.name = experiment_name(args)
+    log_dir = os.path.join(args.logs_dir, args.name)
+    if is_master:
+        os.makedirs(log_dir, exist_ok=True)
+    setup_logging(
+        os.path.join(log_dir, "out.log") if is_master else None,
+        level=logging.DEBUG if args.debug else logging.INFO,
+        include_host=process_count > 1,
+    )
+    if args.checkpoint_path is None:
+        args.checkpoint_path = os.path.join(log_dir, "checkpoints")
+
+    devices = jax.devices()
+    mesh = create_mesh(
+        int(args.mesh_shape) if args.mesh_shape else None
+    )
+    local_device_count = jax.local_device_count()
+    logger.info(
+        f"process {process_index}/{process_count}, devices={len(devices)}, "
+        f"mesh={mesh.shape}"
+    )
+
+    # params dump (main.py:344-349)
+    if is_master:
+        with open(os.path.join(log_dir, "params.txt"), "w") as f:
+            for k in sorted(vars(args)):
+                f.write(f"{k}: {getattr(args, k)}\n")
+
+    # --- model -----------------------------------------------------------
+    pretrained = args.pretrained
+    if args.huggingface_model_name:
+        from cosmos_tpu.models.pretrained import download_pretrained_from_hf
+
+        pretrained = download_pretrained_from_hf(
+            args.huggingface_repo_name, args.huggingface_model_name
+        )
+    model, params = create_model(
+        args.model,
+        pretrained=pretrained or None,
+        precision=args.precision,
+        cosmos=args.cosmos,
+        output_all=args.output_all,
+        attentional_pool=args.attentional_pool,
+        add_zero_attn=args.add_zero_attn,
+        grad_checkpointing=args.grad_checkpointing,
+        use_flash=args.use_flash_attention,
+        force_quick_gelu=args.force_quick_gelu,
+        force_patch_dropout=args.force_patch_dropout,
+        force_image_size=args.force_image_size,
+        seed=args.seed,
+    )
+    tokenizer = get_tokenizer(args.model)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info(f"model {args.model}: {n_params/1e6:.1f}M params")
+
+    image_size = model.cfg.vision_cfg.image_size
+
+    # --- data ------------------------------------------------------------
+    data = get_data(
+        args,
+        tokenizer,
+        process_index=process_index,
+        process_count=process_count,
+        local_device_count=local_device_count,
+        image_size=image_size,
+        context_length=model.cfg.text_cfg.context_length,
+    )
+
+    # --- eval-only modes (main.py:518-534) -------------------------------
+    if "train" not in data or args.eval_mode:
+        from cosmos_tpu.training.train import create_train_state as _cts
+
+        class _EvalState:
+            def __init__(self, p):
+                self.params = p
+                self.teacher_params = None
+
+        state = _EvalState(params)
+        if pretrained:
+            # the reference loads BOTH student and teacher from the ckpt;
+            # teacher is what segmentation uses (clip_segmentor.py:103-109)
+            from cosmos_tpu.models.checkpoint import load_checkpoint
+
+            try:
+                state.teacher_params = load_checkpoint(
+                    model, params, pretrained, which="teacher"
+                )
+            except Exception:
+                state.teacher_params = None
+        metrics = evaluate(model, state, tokenizer, data, epoch=0, args=args)
+        if is_master:
+            print(json.dumps(metrics, default=float))
+        return metrics
+
+    # --- optimizer / schedules (main.py:373-470) -------------------------
+    train_info = data["train"]
+    steps_per_epoch = train_info.num_batches
+    total_steps = steps_per_epoch * args.epochs
+    lr_schedule = get_lr_scheduler(
+        args.lr_scheduler,
+        args.lr,
+        args.warmup,
+        total_steps,
+        cooldown_steps=steps_per_epoch * (args.epochs_cooldown or 0),
+        cooldown_power=args.lr_cooldown_power,
+        cooldown_end_lr=args.lr_cooldown_end,
+    )
+    optimizer = create_optimizer(
+        lr_schedule,
+        beta1=args.beta1,
+        beta2=args.beta2,
+        eps=args.eps,
+        weight_decay=args.wd,
+        grad_clip_norm=args.grad_clip_norm,
+    )
+    momentum_schedule = cosine_scheduler(
+        args.momentum_teacher, 1.0, 0, total_steps
+    )
+    import jax.numpy as jnp
+
+    step_cfg = TrainStepConfig(
+        cosmos=args.cosmos,
+        local_loss=args.local_loss,
+        gather_with_grad=args.gather_with_grad,
+        momentum_schedule=momentum_schedule,
+        fix_momentum=args.fix_momentum,
+        momentum_teacher=args.momentum_teacher,
+        lr_schedule=lr_schedule,
+        input_dtype=(jnp.bfloat16 if args.precision in
+                     ("amp", "amp_bf16", "bf16", "pure_bf16", "fp16")
+                     else jnp.float32),
+    )
+    step_fn = make_train_step(model, optimizer, mesh, step_cfg)
+    state = create_train_state(params, optimizer)
+
+    # --- resume (main.py:150-188, 406-435) -------------------------------
+    start_epoch = 0
+    resume = args.resume
+    if resume == "latest":
+        resume = get_latest_checkpoint(args.checkpoint_path)
+        logger.info(f"resume latest -> {resume}")
+    if resume:
+        # saved meta 'epoch' is the COMPLETED-epoch count (main.py:551),
+        # so training continues from that index
+        state, start_epoch = restore_checkpoint(state, resume)
+        logger.info(f"resumed from {resume} at epoch {start_epoch}")
+
+    # --- remote sync daemon (main.py:193-214) ----------------------------
+    sync_proc = None
+    if args.remote_sync and is_master:
+        from cosmos_tpu.training.file_utils import remote_sync, start_sync_process
+
+        if not remote_sync(args.checkpoint_path, args.remote_sync,
+                           args.remote_sync_protocol):
+            logger.error("initial remote sync failed — continuing without")
+        else:
+            sync_proc = start_sync_process(
+                args.remote_sync_frequency,
+                args.checkpoint_path,
+                args.remote_sync,
+                args.remote_sync_protocol,
+            )
+            sync_proc.start()
+
+    # --- reporting -------------------------------------------------------
+    writer = None
+    if is_master and "tensorboard" in args.report_to:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(log_dir, "tensorboard"))
+        except Exception as e:
+            logger.warning(f"tensorboard unavailable: {e}")
+
+    # --- epoch loop (main.py:540-584) ------------------------------------
+    loader_iter = iter(train_info.dataloader)
+    global_batch = args.batch_size * local_device_count * process_count
+    all_metrics: Dict[str, float] = {}
+    for epoch in range(start_epoch, args.epochs):
+        logger.info(f"epoch {epoch} start")
+        train_info.set_epoch(epoch)
+        state, epoch_metrics = train_one_epoch(
+            step_fn, state, loader_iter, mesh, steps_per_epoch,
+            epoch=epoch, args=args, writer=writer,
+            global_batch=global_batch, shard_batch_fn=shard_batch,
+        )
+        all_metrics.update(epoch_metrics)
+
+        completed = epoch + 1
+        if (
+            args.val_frequency
+            and (completed % args.val_frequency == 0 or completed == args.epochs)
+            and is_master
+        ):
+            eval_metrics = evaluate(model, state, tokenizer, data, completed, args)
+            all_metrics.update(eval_metrics)
+            if writer is not None:
+                for k, v in eval_metrics.items():
+                    if isinstance(v, (int, float)):
+                        writer.add_scalar(f"eval/{k}", v, completed)
+
+        if args.save_frequency and completed % args.save_frequency == 0:
+            save_checkpoint(
+                state,
+                args.checkpoint_path,
+                completed,
+                name=args.name,
+                config={k: str(v) for k, v in vars(args).items()},
+                save_latest=args.save_most_recent or True,
+                delete_previous=args.delete_previous_checkpoint,
+            )
+
+    if sync_proc is not None:
+        sync_proc.terminate()
+    return all_metrics
+
+
+def train_one_epoch(
+    step_fn,
+    state,
+    loader_iter,
+    mesh,
+    steps_per_epoch: int,
+    *,
+    epoch: int,
+    args,
+    writer=None,
+    global_batch: int,
+    shard_batch_fn,
+):
+    """Hot loop (train.py:69-321): fetch batch, shard, step, log meters."""
+    import jax
+
+    metrics = {}
+    data_time = step_time = 0.0
+    t_end = time.perf_counter()
+    for i in range(steps_per_epoch):
+        batch = next(loader_iter)
+        t_data = time.perf_counter()
+        data_time += t_data - t_end
+        batch = shard_batch_fn(batch, mesh, batch_axis=1)
+        state, m = step_fn(state, batch)
+        if (i % args.log_every_n_steps == 0) or (i == steps_per_epoch - 1):
+            loss = float(m["loss"])  # forces completion of the chain
+            t_step = time.perf_counter()
+            step_time += t_step - t_data
+            samples_per_sec = (
+                global_batch * min(args.log_every_n_steps, i + 1)
+                / max(t_step - t_end, 1e-9)
+            ) if i else global_batch / max(t_step - t_end, 1e-9)
+            scalars = {
+                k: float(v) for k, v in m.items()
+            }
+            logger.info(
+                f"epoch {epoch} step {i}/{steps_per_epoch} "
+                f"loss {loss:.4f} "
+                + " ".join(
+                    f"{k} {v:.4g}" for k, v in scalars.items() if k != "loss"
+                )
+                + f" samples/s {samples_per_sec:.1f} data_t {data_time:.2f}s"
+            )
+            if writer is not None:
+                step_num = epoch * steps_per_epoch + i
+                for k, v in scalars.items():
+                    writer.add_scalar(f"train/{k}", v, step_num)
+                writer.add_scalar("train/samples_per_sec", samples_per_sec,
+                                  step_num)
+            metrics = scalars
+            data_time = 0.0
+            t_end = time.perf_counter()
+        else:
+            t_end = t_data
+    return state, {f"train_{k}": v for k, v in metrics.items()}
+
+
+if __name__ == "__main__":
+    main()

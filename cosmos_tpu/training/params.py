@@ -1,0 +1,182 @@
+"""Training/eval configuration flags.
+
+Mirrors the reference's argparse surface (/root/reference/src/training/
+params.py:27-624) so reference users can reuse their launch scripts:
+same flag names for data, model, optimization, COSMOS augmentation
+(--use-imagecrop-aug, --global/local-crops-number, --crop-scale,
+--num-sampled-captions, --caption-sampling-mode, --momentum-teacher,
+--fix-momentum, --cosmos, --output-all, --attentional-pool,
+--add-zero-attn, --use-csa, --seg-w-background), checkpointing and
+logging.  Torch/GPU-specific flags (--torchscript, --horovod, GradScaler
+controls) are intentionally absent; TPU-specific ones (--mesh-shape)
+are added.
+
+Per-model default hyperparams follow params.py:5-11 (ViT: lr 5e-4,
+betas (0.9, 0.98), eps 1e-6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+
+def get_default_params(model_name: str):
+    model_name = model_name.replace("/", "-")
+    if "vit" in model_name.lower():
+        return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
+    return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}
+
+
+class ParseKwargs(argparse.Action):
+    """--aug-cfg key=val parser (params.py:14-24)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        kw = {}
+        for value in values:
+            key, val = value.split("=")
+            try:
+                kw[key] = json.loads(val)
+            except json.JSONDecodeError:
+                kw[key] = val
+        setattr(namespace, self.dest, kw)
+
+
+def parse_args(args=None):
+    parser = argparse.ArgumentParser("cosmos_tpu trainer")
+    add = parser.add_argument
+
+    # data
+    add("--train-data", type=str, default=None)
+    add("--train-data-upsampling-factors", type=str, default=None)
+    add("--val-data", type=str, default=None)
+    add("--train-num-samples", type=int, default=None)
+    add("--val-num-samples", type=int, default=None)
+    add("--dataset-type", choices=["webdataset", "csv", "coco", "synthetic", "auto"],
+        default="auto")
+    add("--dataset-resampled", default=False, action="store_true")
+    add("--csv-separator", type=str, default="\t")
+    add("--csv-img-key", type=str, default="filepath")
+    add("--csv-caption-key", type=str, default="title")
+    add("--data-root-dir", type=str, default=None,
+        help="root dir for COCO/Flickr retrieval eval data")
+    add("--imagenet-val", type=str, default=None)
+    add("--imagenet-v2", type=str, default=None)
+    add("--classification-data-dir", type=str, default=None,
+        help="root containing the 10 extra classification datasets")
+    add("--zeroshot-eval-datasets", type=str, default="",
+        help="comma list of extra classification datasets to eval")
+    add("--workers", type=int, default=4)
+
+    # experiment
+    add("--logs-dir", type=str, default="./logs/")
+    add("--log-local", action="store_true", default=False)
+    add("--name", type=str, default=None)
+    add("--seed", type=int, default=0)
+
+    # training
+    add("--batch-size", type=int, default=64, help="per-device batch size")
+    add("--epochs", type=int, default=32)
+    add("--epochs-cooldown", type=int, default=None)
+    add("--steps-per-epoch", type=int, default=None,
+        help="override; else train_num_samples // global_batch")
+    add("--lr", type=float, default=None)
+    add("--beta1", type=float, default=None)
+    add("--beta2", type=float, default=None)
+    add("--eps", type=float, default=None)
+    add("--wd", type=float, default=0.2)
+    add("--warmup", type=int, default=10000)
+    add("--lr-scheduler", type=str, default="cosine",
+        choices=["cosine", "const", "const-cooldown"])
+    add("--lr-cooldown-end", type=float, default=0.0)
+    add("--lr-cooldown-power", type=float, default=1.0)
+    add("--grad-clip-norm", type=float, default=None)
+    add("--accum-freq", type=int, default=1)
+    add("--precision", type=str, default="amp",
+        choices=["amp", "amp_bf16", "bf16", "pure_bf16", "fp32", "fp16"])
+    add("--grad-checkpointing", action="store_true", default=False)
+    add("--local-loss", action="store_true", default=False,
+        help="compute [B_local, B_global] logit rows per device")
+    add("--gather-with-grad", action="store_true", default=True)
+    add("--force-quick-gelu", action="store_true", default=False)
+    add("--force-patch-dropout", type=float, default=None)
+    add("--force-image-size", type=int, default=None)
+    add("--use-flash-attention", action="store_true", default=False)
+
+    # model
+    add("--model", type=str, default="ViT-B-16")
+    add("--pretrained", type=str, default="")
+    add("--lock-image", action="store_true", default=False)
+    add("--lock-image-unlocked-groups", type=int, default=0)
+    add("--lock-text", action="store_true", default=False)
+    add("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
+    add("--siglip", action="store_true", default=False)
+    add("--coca-caption-loss-weight", type=float, default=2.0)
+    add("--coca-contrastive-loss-weight", type=float, default=1.0)
+
+    # COSMOS augmentation + distillation (params.py:275-560)
+    add("--use-imagecrop-aug", action="store_true", default=False)
+    add("--global-crops-number", type=int, default=2)
+    add("--local-crops-number", type=int, default=6)
+    add("--crop-scale", type=float, default=0.4)
+    add("--num-sampled-captions", type=int, default=8)
+    add("--caption-sampling-mode", type=str, default="raw",
+        choices=["raw", "raw_pixelprose", "random", "random_pixelprose",
+                 "short", "long", "textcrop", "textcrop_pixelprose"])
+    add("--momentum-teacher", type=float, default=0.999)
+    add("--fix-momentum", action="store_true", default=False)
+    add("--cosmos", action="store_true", default=False)
+    add("--output-all", action="store_true", default=False)
+    add("--attentional-pool", action="store_true", default=False)
+    add("--attn-pooler-heads", type=int, default=8)
+    add("--add-zero-attn", action="store_true", default=False)
+
+    # segmentation eval (params.py:591-601)
+    add("--use-csa", action="store_true", default=False)
+    add("--seg-w-background", action="store_true", default=False)
+
+    # checkpointing / resume (main.py:150-214)
+    add("--checkpoint-path", type=str, default=None)
+    add("--resume", type=str, default=None, help="path or 'latest'")
+    add("--save-frequency", type=int, default=1)
+    add("--save-most-recent", action="store_true", default=False)
+    add("--delete-previous-checkpoint", action="store_true", default=False)
+    add("--remote-sync", type=str, default=None)
+    add("--remote-sync-frequency", type=int, default=300)
+    add("--remote-sync-protocol", type=str, default="s3",
+        choices=["s3", "fsspec"])
+    add("--huggingface-model-name", type=str, default="")
+    add("--huggingface-repo-name", type=str, default="sankim2/cosmos")
+
+    # eval control
+    add("--val-frequency", type=int, default=1)
+    add("--zeroshot-frequency", type=int, default=2)
+    add("--retrieval-frequency", type=int, default=1)
+    add("--eval-mode", type=str, default="",
+        choices=["", "retrieval", "classification", "segmentation"])
+    add("--eval-teacher", action="store_true", default=True,
+        help="also evaluate the EMA teacher (reference evaluates both)")
+
+    # logging
+    add("--log-every-n-steps", type=int, default=100)
+    add("--report-to", type=str, default="",
+        help="comma list: tensorboard,wandb")
+    add("--wandb-project-name", type=str, default="cosmos-tpu")
+    add("--debug", action="store_true", default=False)
+
+    # TPU / mesh
+    add("--mesh-shape", type=str, default=None,
+        help="e.g. '8' or '4x2'; default all devices on one data axis")
+    add("--coordinator-address", type=str, default=None)
+    add("--num-processes", type=int, default=None)
+    add("--process-id", type=int, default=None)
+
+    ns = parser.parse_args(args)
+
+    # per-model default hyperparams (params.py:636-644 equivalent)
+    defaults = get_default_params(ns.model)
+    for name, val in defaults.items():
+        if getattr(ns, name) is None:
+            setattr(ns, name, val)
+    return ns

@@ -1,0 +1,167 @@
+"""Zero-shot classification: prompt-ensembled classifier + top-k eval.
+
+Parity targets:
+  - /root/reference/src/open_clip/zero_shot_classifier.py:21-71
+    build_zero_shot_classifier: batches of classnames x templates ->
+    encode_text -> per-template L2 normalize -> template mean -> renorm ->
+    [D, n_classes] weight matrix.
+  - /root/reference/src/training/zero_shot.py:12-121: accuracy top-k, the
+    `logits = 100 * img_feat @ classifier` eval loop, ImageNet eval, and
+    the 10 extra classification datasets driven by the
+    templates.json/label.json prompt banks (bundled here as
+    assets/classification_banks.json).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_ASSETS = Path(__file__).resolve().parent.parent / "assets"
+
+
+def load_imagenet_metadata() -> Dict:
+    return json.loads((_ASSETS / "imagenet_zeroshot.json").read_text())
+
+
+def load_classification_banks() -> Dict:
+    return json.loads((_ASSETS / "classification_banks.json").read_text())
+
+
+# canonical eval dataset names (train.py:508) -> bank keys, with aliases
+# for the dataloader module names
+CLASSIFICATION_DATASETS = (
+    "food101", "cifar10", "cifar100", "sun397", "stanford_car",
+    "aircraft", "dtd", "pets", "flowers", "caltech101",
+)
+_BANK_ALIASES = {
+    "fgvc_aircraft": "aircraft",
+    "oxford_pets": "pets",
+    "flowers102": "flowers",
+}
+
+
+def bank_key(dataset_name: str) -> str:
+    return _BANK_ALIASES.get(dataset_name, dataset_name)
+
+
+def build_zero_shot_classifier(
+    encode_text_fn: Callable[[np.ndarray], jax.Array],
+    tokenizer,
+    classnames: Sequence[str],
+    templates: Sequence[str],
+    num_classes_per_batch: int = 10,
+) -> jax.Array:
+    """Returns [D, n_classes] classifier weights.
+
+    encode_text_fn: tokens [N, L] -> UNNORMALIZED text features [N, D]
+    templates: format strings with a '{}' placeholder (or callables).
+    """
+    fmt = [
+        (t if callable(t) else t.format) for t in templates
+    ]
+    num_templates = len(fmt)
+    weights = []
+    for start in range(0, len(classnames), num_classes_per_batch):
+        batch = classnames[start : start + num_classes_per_batch]
+        texts = [f(c) for c in batch for f in fmt]
+        tokens = tokenizer(texts)
+        feats = encode_text_fn(tokens)  # [Nb*T, D]
+        feats = feats.astype(jnp.float32)
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        feats = feats.reshape(len(batch), num_templates, -1).mean(axis=1)
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        weights.append(feats)
+    return jnp.concatenate(weights, axis=0).T  # [D, n_classes]
+
+
+def accuracy(logits: np.ndarray, target: np.ndarray,
+             topk: Sequence[int] = (1,)) -> List[float]:
+    """Top-k correct counts (zero_shot.py:12-15)."""
+    pred = np.argsort(-logits, axis=-1)
+    return [
+        float((pred[:, :k] == target[:, None]).any(axis=1).sum()) for k in topk
+    ]
+
+
+def run_classification_eval(
+    encode_image_fn: Callable,
+    classifier: jax.Array,
+    dataloader,
+    device_batch: Optional[int] = None,
+) -> Tuple[float, float]:
+    """logits = 100 * normalized image features @ classifier (zero_shot.py:17-42)."""
+    top1 = top5 = n = 0.0
+    for images, target in dataloader:
+        feats = encode_image_fn(jnp.asarray(images))
+        feats = feats.astype(jnp.float32)
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        logits = 100.0 * feats @ classifier
+        a1, a5 = accuracy(np.asarray(logits), np.asarray(target), topk=(1, 5))
+        top1 += a1
+        top5 += a5
+        n += images.shape[0]
+    return top1 / n, top5 / n
+
+
+def zero_shot_eval(
+    encode_image_fn: Callable,
+    encode_text_fn: Callable,
+    tokenizer,
+    data: Dict,
+    use_simple_templates: bool = False,
+) -> Dict[str, float]:
+    """ImageNet zero-shot (zero_shot.py:44-85)."""
+    results: Dict[str, float] = {}
+    meta = load_imagenet_metadata()
+    templates = (
+        meta["simple_templates"] if use_simple_templates else meta["templates"]
+    )
+    classifier = build_zero_shot_classifier(
+        encode_text_fn, tokenizer, meta["classnames"], templates
+    )
+    for split in ("imagenet-val", "imagenet-v2"):
+        if split in data:
+            top1, top5 = run_classification_eval(
+                encode_image_fn, classifier, data[split]
+            )
+            key = "imagenet-zeroshot-val-top1" if split == "imagenet-val" else "imagenetv2-zeroshot-val-top1"
+            results[key] = top1
+            results[key.replace("top1", "top5")] = top5
+    return results
+
+
+def zero_shot_classification_eval(
+    encode_image_fn: Callable,
+    encode_text_fn: Callable,
+    tokenizer,
+    dataset_name: str,
+    dataloader,
+) -> Dict[str, float]:
+    """One of the extra datasets via its prompt/label bank
+    (zero_shot.py:87-121)."""
+    banks = load_classification_banks()
+    key = bank_key(dataset_name)
+    if key not in banks["templates"]:
+        raise KeyError(
+            f"no prompt bank for {dataset_name}; have "
+            f"{sorted(banks['templates'])[:10]}..."
+        )
+    templates = banks["templates"][key]
+    labels = banks["labels"][key]
+    classifier = build_zero_shot_classifier(
+        encode_text_fn, tokenizer, labels, templates
+    )
+    top1, top5 = run_classification_eval(encode_image_fn, classifier, dataloader)
+    return {
+        f"{dataset_name}-zeroshot-top1": top1,
+        f"{dataset_name}-zeroshot-top5": top5,
+    }

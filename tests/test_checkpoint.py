@@ -1,0 +1,192 @@
+"""Checkpoint conversion tests: round-trip bijection and torch-oracle
+numerics parity for the attention/LayerNorm building blocks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from cosmos_tpu.models.checkpoint import (
+    params_to_torch_state_dict,
+    torch_state_dict_to_params,
+)
+from cosmos_tpu.models.factory import create_model
+
+TINY = {
+    "embed_dim": 16,
+    "vision_image_size": 16,
+    "vision_patch_size": 8,
+    "vision_width": 16,
+    "vision_layers": 2,
+    "vision_head_width": 8,
+    "text_context_length": 10,
+    "text_vocab_size": 64,
+    "text_width": 16,
+    "text_heads": 2,
+    "text_layers": 2,
+}
+
+
+def test_roundtrip_bijection():
+    model, params = create_model(
+        "ViT-B-16", cosmos=True, output_all=True,
+        attentional_pool=True, add_zero_attn=True, **TINY
+    )
+    sd = params_to_torch_state_dict(params)
+    # expected reference key set present
+    for key in (
+        "visual.conv1.weight",
+        "visual.transformer.resblocks.0.attn.in_proj_weight",
+        "transformer.resblocks.1.mlp.c_proj.bias",
+        "text_projection",
+        "logit_scale",
+        "distill_logit_scale",
+        "image_token_mapping.weight",
+        "visual.attn_cross_pool.attn.out_proj.weight",
+        "text_attn_cross_pool.ln_k.bias",
+    ):
+        assert key in sd, key
+    # conv layout is torch OIHW
+    assert sd["visual.conv1.weight"].shape == (16, 3, 8, 8)
+    assert sd["visual.transformer.resblocks.0.attn.in_proj_weight"].shape == (48, 16)
+
+    back = torch_state_dict_to_params(sd, params, strict=True)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=0,
+                                   err_msg=str(pa))
+
+
+def test_module_prefix_stripped():
+    model, params = create_model("ViT-B-16", **TINY)
+    sd = params_to_torch_state_dict(params)
+    prefixed = {"module." + k: v for k, v in sd.items()}
+    back = torch_state_dict_to_params(prefixed, params, strict=True)
+    np.testing.assert_allclose(
+        np.asarray(back["visual"]["proj"]), np.asarray(params["visual"]["proj"])
+    )
+
+
+def test_attention_matches_torch_mha():
+    """Our packed-QKV attention vs torch.nn.MultiheadAttention (self)."""
+    from cosmos_tpu.models.attention import MultiheadAttention
+
+    d, h, B, L = 16, 4, 3, 7
+    torch.manual_seed(0)
+    mha = torch.nn.MultiheadAttention(d, h, batch_first=True)
+    x = torch.randn(B, L, d)
+    with torch.no_grad():
+        ref, _ = mha(x, x, x, need_weights=False)
+
+    m = MultiheadAttention(num_heads=h)
+    params = {
+        "in_proj_kernel": mha.in_proj_weight.detach().numpy().T,
+        "in_proj_bias": mha.in_proj_bias.detach().numpy(),
+        "out_proj": {
+            "kernel": mha.out_proj.weight.detach().numpy().T,
+            "bias": mha.out_proj.bias.detach().numpy(),
+        },
+    }
+    got = m.apply({"params": params}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5)
+
+
+def test_attention_matches_torch_mha_causal_mask():
+    from cosmos_tpu.models.attention import MultiheadAttention
+    from cosmos_tpu.models.text import causal_mask
+
+    d, h, B, L = 16, 4, 2, 6
+    torch.manual_seed(1)
+    mha = torch.nn.MultiheadAttention(d, h, batch_first=True)
+    x = torch.randn(B, L, d)
+    tmask = torch.triu(torch.full((L, L), float("-inf")), diagonal=1)
+    with torch.no_grad():
+        ref, _ = mha(x, x, x, attn_mask=tmask, need_weights=False)
+
+    m = MultiheadAttention(num_heads=h)
+    params = {
+        "in_proj_kernel": mha.in_proj_weight.detach().numpy().T,
+        "in_proj_bias": mha.in_proj_bias.detach().numpy(),
+        "out_proj": {
+            "kernel": mha.out_proj.weight.detach().numpy().T,
+            "bias": mha.out_proj.bias.detach().numpy(),
+        },
+    }
+    got = m.apply({"params": params}, jnp.asarray(x.numpy()),
+                  mask=causal_mask(L))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5)
+
+
+def test_cross_attention_with_zero_attn_matches_torch():
+    """Cross attention + add_zero_attn vs torch (the COSMOS pooler core)."""
+    from cosmos_tpu.models.attention import MultiheadAttention
+
+    d, h, B, Lq, Lk = 16, 4, 2, 1, 5
+    torch.manual_seed(2)
+    mha = torch.nn.MultiheadAttention(d, h, batch_first=True, add_zero_attn=True)
+    q = torch.randn(B, Lq, d)
+    kv = torch.randn(B, Lk, d)
+    with torch.no_grad():
+        ref, _ = mha(q, kv, kv, need_weights=False)
+
+    m = MultiheadAttention(num_heads=h, add_zero_attn=True)
+    params = {
+        "in_proj_kernel": mha.in_proj_weight.detach().numpy().T,
+        "in_proj_bias": mha.in_proj_bias.detach().numpy(),
+        "out_proj": {
+            "kernel": mha.out_proj.weight.detach().numpy().T,
+            "bias": mha.out_proj.bias.detach().numpy(),
+        },
+    }
+    got = m.apply({"params": params}, jnp.asarray(q.numpy()),
+                  kv=jnp.asarray(kv.numpy()))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5)
+
+
+def test_layernorm_matches_torch():
+    from cosmos_tpu.models.layers import LayerNorm
+
+    torch.manual_seed(3)
+    ln = torch.nn.LayerNorm(16)
+    with torch.no_grad():
+        ln.weight.mul_(1.7).add_(0.1)
+        ln.bias.add_(0.3)
+    x = torch.randn(4, 16)
+    ref = ln(x).detach().numpy()
+    got = LayerNorm().apply(
+        {"params": {"scale": ln.weight.detach().numpy(),
+                    "bias": ln.bias.detach().numpy()}},
+        jnp.asarray(x.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def test_gelu_matches_torch():
+    from cosmos_tpu.models.layers import gelu, quick_gelu
+
+    x = torch.linspace(-4, 4, 101)
+    np.testing.assert_allclose(
+        np.asarray(gelu(jnp.asarray(x.numpy()))),
+        torch.nn.functional.gelu(x).numpy(),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(quick_gelu(jnp.asarray(x.numpy()))),
+        (x * torch.sigmoid(1.702 * x)).numpy(),
+        atol=1e-6,
+    )
+
+
+def test_pos_embed_resize_on_mismatch():
+    model, params = create_model("ViT-B-16", **TINY)  # 16px, patch 8 -> 4+1
+    sd = params_to_torch_state_dict(params)
+    # fake a checkpoint trained at 32px (patch 8 -> 16+1 positions)
+    sd["visual.positional_embedding"] = np.random.default_rng(0).normal(
+        size=(17, 16)
+    ).astype(np.float32)
+    back = torch_state_dict_to_params(sd, params)
+    assert back["visual"]["positional_embedding"].shape == (5, 16)

@@ -1,0 +1,120 @@
+"""Eval-stack tests: retrieval rank math vs a direct reference-semantics
+loop, and the zero-shot classifier builder."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cosmos_tpu.training.retrieval import (
+    compute_retrieval_metrics,
+    get_clip_metrics,
+)
+from cosmos_tpu.training.zero_shot import (
+    accuracy,
+    build_zero_shot_classifier,
+    load_classification_banks,
+    load_imagenet_metadata,
+)
+
+
+def _loop_reference_metrics(sim, img2txt, txt2img):
+    """Direct translation of the reference's per-row loops (train.py:716-757)."""
+    n_img, n_txt = sim.shape
+    i2t = np.zeros(n_img)
+    for i in range(n_img):
+        inds = np.argsort(-sim[i])
+        rank = 1e10
+        for c in img2txt[i]:
+            tmp = int(np.where(inds == c)[0][0])
+            rank = min(rank, tmp)
+        i2t[i] = rank
+    t2i = np.zeros(n_txt)
+    simT = sim.T
+    for c in range(n_txt):
+        inds = np.argsort(-simT[c])
+        t2i[c] = int(np.where(inds == txt2img[c])[0][0])
+    return {
+        "image_to_text_R@1": float(np.mean(i2t < 1)),
+        "text_to_image_R@1": float(np.mean(t2i < 1)),
+        "image_to_text_R@5": float(np.mean(i2t < 5)),
+        "text_to_image_R@5": float(np.mean(t2i < 5)),
+    }
+
+
+def test_retrieval_metrics_match_reference_loop():
+    rng = np.random.default_rng(0)
+    n_img, n_per = 20, 5
+    n_txt = n_img * n_per
+    sim = rng.normal(size=(n_img, n_txt)).astype(np.float32)
+    img2txt = {i: list(range(i * n_per, (i + 1) * n_per)) for i in range(n_img)}
+    txt2img = {c: c // n_per for c in range(n_txt)}
+    got = compute_retrieval_metrics(sim, img2txt, txt2img)
+    want = _loop_reference_metrics(sim, img2txt, txt2img)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, k
+
+
+def test_retrieval_perfect_alignment():
+    n = 8
+    feats = np.eye(n, dtype=np.float32)
+    sim = feats @ feats.T
+    img2txt = {i: [i] for i in range(n)}
+    txt2img = {i: i for i in range(n)}
+    m = compute_retrieval_metrics(sim, img2txt, txt2img)
+    assert m["image_to_text_R@1"] == 1.0
+    assert m["text_to_image_R@1"] == 1.0
+    assert m["image_to_text_mean_rank"] == 1.0
+
+
+def test_clip_metrics_diag():
+    f = np.eye(6, dtype=np.float32)
+    m = get_clip_metrics(f, f, 10.0)
+    assert m["image_to_text_R@1"] == 1.0
+    assert m["text_to_image_mean_rank"] == 1.0
+
+
+def test_accuracy_topk():
+    logits = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    target = np.array([1, 2])
+    a1, a2 = accuracy(logits, target, topk=(1, 2))
+    assert a1 == 1.0  # only first sample correct at top-1
+    assert a2 == 1.0  # second sample's class 2 not in top-2 ([0, then 1 or 2])
+
+
+def test_build_classifier_shapes_and_norm():
+    from cosmos_tpu.data.tokenizer import SimpleTokenizer
+
+    tok = SimpleTokenizer(context_length=16)
+    d = 8
+
+    def fake_encode(tokens):
+        # deterministic pseudo-features from token sums
+        s = np.asarray(tokens).sum(axis=1, keepdims=True).astype(np.float32)
+        rng = np.random.default_rng(3)
+        proj = rng.normal(size=(1, d)).astype(np.float32)
+        return jnp.asarray(s * proj + np.arange(d)[None, :])
+
+    classifier = build_zero_shot_classifier(
+        fake_encode, tok, ["cat", "dog", "frog"],
+        ["a photo of a {}.", "an image of a {}."],
+        num_classes_per_batch=2,
+    )
+    assert classifier.shape == (d, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(classifier), axis=0), 1.0, rtol=1e-5
+    )
+
+
+def test_asset_banks_complete():
+    meta = load_imagenet_metadata()
+    assert len(meta["classnames"]) == 1000
+    assert len(meta["templates"]) == 80
+    assert all("{}" in t for t in meta["templates"])
+    from cosmos_tpu.training.zero_shot import CLASSIFICATION_DATASETS, bank_key
+
+    banks = load_classification_banks()
+    for ds in CLASSIFICATION_DATASETS:
+        assert bank_key(ds) in banks["templates"], ds
+        assert bank_key(ds) in banks["labels"], ds
+    # dataloader-module aliases resolve too
+    for alias in ("fgvc_aircraft", "oxford_pets", "flowers102"):
+        assert bank_key(alias) in banks["templates"], alias

@@ -1,0 +1,49 @@
+"""End-to-end trainer test: synthetic data, 1 epoch, save + resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cosmos_tpu.training.main import main
+
+BASE_ARGS = [
+    "--model", "ViT-Tiny-Test",
+    "--dataset-type", "synthetic",
+    "--train-num-samples", "64",
+    "--batch-size", "2",
+    "--steps-per-epoch", "2",
+    "--lr", "1e-3",
+    "--warmup", "1",
+    "--use-imagecrop-aug",
+    "--local-crops-number", "2",
+    "--caption-sampling-mode", "textcrop",
+    "--num-sampled-captions", "3",
+    "--cosmos", "--output-all", "--attentional-pool", "--add-zero-attn",
+    "--fix-momentum",
+    "--log-every-n-steps", "1",
+    "--val-frequency", "0",
+    "--workers", "0",
+    "--precision", "fp32",
+]
+
+
+def test_train_save_resume(tmp_path):
+    logs = str(tmp_path / "logs")
+    args = BASE_ARGS + [
+        "--logs-dir", logs, "--name", "e2e", "--epochs", "1",
+        "--save-frequency", "1",
+    ]
+    m1 = main(args)
+    assert np.isfinite(m1["train_loss"])
+    ckpt_dir = os.path.join(logs, "e2e", "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_1"))
+
+    # resume latest and continue to epoch 2
+    args2 = BASE_ARGS + [
+        "--logs-dir", logs, "--name", "e2e", "--epochs", "2",
+        "--save-frequency", "1", "--resume", "latest",
+    ]
+    m2 = main(args2)
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_2"))
+    assert np.isfinite(m2["train_loss"])
