@@ -1,0 +1,152 @@
+"""Segmentation stack tests: class parsing, IoU metric, postprocess
+semantics, and an end-to-end benchmark run on synthetic data."""
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cosmos_tpu.segmentation import (
+    CLIPSegmentor,
+    IoUMetric,
+    SegBenchmark,
+    SegDataset,
+)
+from cosmos_tpu.segmentation.segmentor import get_cls_idx
+from cosmos_tpu.segmentation.metrics import reduce_zero_label
+from cosmos_tpu.segmentation.dataset import keep_ratio_resize_dims
+
+
+def test_get_cls_idx_synonyms():
+    words, idx = get_cls_idx(["cat", "dog, puppy", "sky, cloud, heaven"])
+    assert words == ["cat", "dog", "puppy", "sky", "cloud", "heaven"]
+    assert idx == [0, 1, 1, 2, 2, 2]
+
+
+def test_iou_metric_perfect_and_half():
+    m = IoUMetric(num_classes=2)
+    pred = np.array([[0, 0], [1, 1]])
+    m.update(pred, pred)
+    out = m.compute()
+    assert out["mIoU"] == 100.0 and out["aAcc"] == 100.0
+
+    m2 = IoUMetric(num_classes=2)
+    label = np.array([[0, 0], [1, 1]])
+    pred2 = np.array([[0, 1], [1, 1]])
+    m2.update(pred2, label)
+    out2 = m2.compute()
+    # class0: inter 1, union 2 -> 0.5; class1: inter 2, union 3 -> 2/3
+    np.testing.assert_allclose(out2["mIoU"], (0.5 + 2 / 3) / 2 * 100, rtol=1e-6)
+
+
+def test_iou_ignores_255():
+    m = IoUMetric(num_classes=2)
+    label = np.array([[255, 0], [1, 255]])
+    pred = np.array([[1, 0], [1, 0]])
+    m.update(pred, label)
+    assert m.compute()["aAcc"] == 100.0
+
+
+def test_reduce_zero_label():
+    lab = np.array([[0, 1], [2, 255]])
+    out = reduce_zero_label(lab)
+    np.testing.assert_array_equal(out, [[255, 0], [1, 255]])
+
+
+def test_keep_ratio_resize():
+    # (2048, 336): short side bound dominates for normal photos
+    h, w = keep_ratio_resize_dims(480, 640, (2048, 336))
+    assert min(h, w) == 336
+    # very wide image: long side bound dominates
+    h, w = keep_ratio_resize_dims(300, 4000, (2048, 336))
+    assert max(h, w) == 2048
+
+
+@pytest.fixture(scope="module")
+def tiny_seg_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("segdata")
+    (tmp / "imgs").mkdir()
+    (tmp / "anns").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+        Image.fromarray(img).save(tmp / "imgs" / f"s{i}.jpg")
+        lab = rng.integers(0, 3, (40, 56)).astype(np.uint8)
+        Image.fromarray(lab).save(tmp / "anns" / f"s{i}.png")
+    bench = SegBenchmark(
+        name="tiny",
+        classnames_key="voc20",
+        data_root=str(tmp),
+        img_dir="imgs",
+        ann_dir="anns",
+        scale=(64, 48),
+    )
+    return bench, tmp
+
+
+def test_seg_dataset(tiny_seg_setup):
+    bench, _ = tiny_seg_setup
+    ds = SegDataset(bench)
+    assert len(ds) == 2
+    img, lab = ds[0]
+    assert img.dtype == np.uint8
+    assert lab.shape == (40, 56)
+
+
+def test_segmentor_end_to_end(tiny_seg_setup):
+    from cosmos_tpu.models.factory import create_model, get_tokenizer
+
+    bench, _ = tiny_seg_setup
+    model, params = create_model(
+        "ViT-Tiny-Test", cosmos=True, output_all=True,
+        attentional_pool=True, add_zero_attn=True,
+    )
+    tok = get_tokenizer("ViT-Tiny-Test")
+    seg = CLIPSegmentor(
+        model, params, tok,
+        ["cat", "dog, puppy", "sky"],
+        slide_crop=32, slide_stride=16,
+        pamr_steps=2, pamr_stride=(2, 4),
+        prob_thd=0.0,
+    )
+    assert seg.num_queries == 4 and seg.num_classes == 3
+    ds = SegDataset(bench)
+    img, lab = ds[0]
+    pred = seg.predict(img, ori_shape=lab.shape[:2])
+    assert pred.shape == lab.shape
+    assert pred.min() >= 0 and pred.max() < 3
+    # CSA path also runs
+    seg_csa = CLIPSegmentor(
+        model, params, tok, ["cat", "dog"], slide_crop=32, slide_stride=16,
+        use_csa=True,
+    )
+    pred2 = seg_csa.predict(img, ori_shape=lab.shape[:2])
+    assert pred2.shape == lab.shape
+
+
+def test_postprocess_synonym_merge_and_thresholds():
+    from cosmos_tpu.models.factory import create_model, get_tokenizer
+
+    model, params = create_model(
+        "ViT-Tiny-Test", cosmos=True, output_all=True,
+        attentional_pool=True, add_zero_attn=True,
+    )
+    tok = get_tokenizer("ViT-Tiny-Test")
+    seg = CLIPSegmentor(
+        model, params, tok, ["bg", "cat, kitten"], prob_thd=0.9,
+        logit_scale=100.0,
+    )
+    # query 1 and 2 are synonyms of class 1
+    logits = np.zeros((2, 2, 3), np.float32)
+    logits[..., 1] = 0.2
+    logits[0, 0, 2] = 0.9   # synonym spike -> class 1 via max-merge
+    pred = seg.postprocess(logits)
+    assert pred[0, 0] == 1
+    # low-confidence pixels fall to background given prob_thd
+    seg.prob_thd = 1.01  # prob can never exceed 1
+    pred2 = seg.postprocess(logits)
+    assert (pred2 == 0).all()

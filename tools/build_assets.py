@@ -66,6 +66,18 @@ def build_classification_banks(reference: Path) -> None:
     print(f"wrote {path} ({len(templates)} template sets, {len(labels)} label sets)")
 
 
+def build_seg_classnames(reference: Path) -> None:
+    """Class-name (+synonym) files for the 8 segmentation benchmarks."""
+    seg_dir = reference / "src/training/seg_configs"
+    out = {}
+    for f in sorted(seg_dir.glob("cls_*.txt")):
+        lines = [ln.rstrip("\n") for ln in f.read_text().splitlines() if ln.strip()]
+        out[f.stem[len("cls_"):]] = lines
+    path = ASSETS / "seg_classnames.json"
+    path.write_text(json.dumps(out, ensure_ascii=False))
+    print(f"wrote {path} ({len(out)} benchmarks)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", default="/root/reference", type=Path)
@@ -74,6 +86,7 @@ def main() -> None:
     build_bpe(args.reference)
     build_imagenet_zeroshot(args.reference)
     build_classification_banks(args.reference)
+    build_seg_classnames(args.reference)
 
 
 if __name__ == "__main__":
