@@ -84,6 +84,7 @@ class MultiheadAttention(nn.Module):
         kv: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
         csa: bool = False,
+        causal: bool = False,
         deterministic: bool = True,
     ) -> jax.Array:
         del deterministic  # attn dropout is 0 in all reference configs
@@ -134,9 +135,11 @@ class MultiheadAttention(nn.Module):
                 "bhqk,bhkd->bhqd", weights.astype(vh.dtype), vh,
                 preferred_element_type=jnp.float32,
             ).astype(vh.dtype)
-        elif self.use_flash and kv is None and mask is None:
+        elif self.use_flash and kv is None and (mask is None or causal):
+            # causal=True means the additive mask (if any) is exactly the
+            # causal mask, which the kernel applies itself
             from cosmos_tpu.ops.flash_attention import flash_attention
-            out = flash_attention(qh, kh, vh)
+            out = flash_attention(qh, kh, vh, causal)
         else:
             out = dot_product_attention(qh, kh, vh, mask=mask)
 

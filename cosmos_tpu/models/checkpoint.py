@@ -185,6 +185,15 @@ def torch_state_dict_to_params(
         if fpath == ("visual", "positional_embedding"):
             target = reference_params["visual"]["positional_embedding"].shape[0]
             val = resize_pos_embed(val, target)
+        # normalize rank mismatches (e.g. scalars round-tripped as [1])
+        ref_leaf = reference_params
+        try:
+            for p in fpath:
+                ref_leaf = ref_leaf[p]
+            if val.shape != ref_leaf.shape and val.size == ref_leaf.size:
+                val = val.reshape(ref_leaf.shape)
+        except (KeyError, TypeError):
+            pass
         _set(out, fpath, val.astype(np.float32))
         used.add(tkey)
     extra = set(sd) - used - {"attn_mask"}

@@ -74,13 +74,19 @@ def create_model(
     if force_quick_gelu:
         cfg = dataclasses.replace(cfg, quick_gelu=True)
 
-    model = CLIP(
-        cfg=cfg,
-        cosmos=cosmos,
-        dtype=resolve_dtype(precision),
-        remat=grad_checkpointing,
-        use_flash=use_flash,
-    )
+    if cfg.multimodal_cfg is not None:
+        # CoCa dispatch (reference factory.py:291-292)
+        from .coca import CoCa
+
+        model = CoCa(cfg=cfg, dtype=resolve_dtype(precision))
+    else:
+        model = CLIP(
+            cfg=cfg,
+            cosmos=cosmos,
+            dtype=resolve_dtype(precision),
+            remat=grad_checkpointing,
+            use_flash=use_flash,
+        )
     params = None
     if init_params:
         params = init_model_params(model, seed=seed)
@@ -100,6 +106,9 @@ def init_model_params(model: CLIP, seed: int = 0) -> Dict:
     v, t = c.vision_cfg, c.text_cfg
     images = jnp.zeros((1, v.image_size, v.image_size, 3), jnp.float32)
     texts = jnp.zeros((1, t.context_length), jnp.int32)
+    if c.multimodal_cfg is not None:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(seed), images, texts)
+        return variables["params"]
     if v.output_all and v.attentional_pool:
         # run the cross-modal branch once so the pooler params materialize
         variables = jax.jit(model.init, static_argnames=("batch_size",))(

@@ -114,7 +114,15 @@ class TextTransformer(nn.Module):
         seq_len = text.shape[1]
         x = self.token_embedding(text).astype(self.dtype)
 
-        mask = None if self.no_causal_mask else causal_mask(seq_len)
+        # with the flash kernel the causal structure is applied inside the
+        # kernel; no additive mask array is materialized
+        flash_causal = (
+            self.use_flash and not self.no_causal_mask and self.cls_emb is None
+        )
+        if self.no_causal_mask or flash_causal:
+            mask = None
+        else:
+            mask = causal_mask(seq_len)
 
         if self.cls_emb is not None:
             # CoCa: append CLS at the end; pad positions masked out
@@ -132,7 +140,7 @@ class TextTransformer(nn.Module):
             mask = mask[:, None, :, :]  # [B, 1, L, L] broadcast over heads
 
         x = x + self.positional_embedding[:seq_len].astype(x.dtype)
-        x = self.transformer(x, mask=mask)
+        x = self.transformer(x, mask=mask, causal=flash_causal)
 
         if self.cls_emb is not None:
             pooled, tokens = x[:, -1], x[:, :-1]

@@ -41,6 +41,7 @@ class ResidualAttentionBlock(nn.Module):
         kv: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
         csa: bool = False,
+        causal: bool = False,
     ) -> jax.Array:
         d = x.shape[-1]
         attn_in = LayerNorm(name="ln_1")(x)
@@ -52,7 +53,7 @@ class ResidualAttentionBlock(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             name="attn",
-        )(attn_in, kv=attn_kv, mask=mask, csa=csa)
+        )(attn_in, kv=attn_kv, mask=mask, csa=csa, causal=causal)
         if self.ls_init_value is not None:
             h = LayerScale(init_value=self.ls_init_value, name="ls_1")(h)
         x = x + h
@@ -86,11 +87,12 @@ class Transformer(nn.Module):
         x: jax.Array,
         mask: Optional[jax.Array] = None,
         csa_last_block: bool = False,
+        causal: bool = False,
     ) -> jax.Array:
         block_cls = ResidualAttentionBlock
         if self.remat:
             block_cls = nn.remat(
-                ResidualAttentionBlock, static_argnums=(4,),
+                ResidualAttentionBlock, static_argnums=(4, 5),
                 prevent_cse=False,
             )
         for i in range(self.layers):
@@ -107,7 +109,7 @@ class Transformer(nn.Module):
             if csa_last_block and is_last:
                 # SCLIP CSA path (transformer.py:687-694): the last block
                 # runs with correlative self-attention and NO attn mask.
-                x = block(x, None, None, True)
+                x = block(x, None, None, True, False)
             else:
-                x = block(x, None, mask, False)
+                x = block(x, None, mask, False, causal)
         return x

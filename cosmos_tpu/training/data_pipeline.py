@@ -188,15 +188,24 @@ def get_data(
         data["imagenet-val"] = _LabeledImageLoader(ds, args.batch_size)
 
     if args.classification_data_dir and args.zeroshot_eval_datasets:
+        from cosmos_tpu.data.classification import ClassificationDataset
+
         for name in args.zeroshot_eval_datasets.split(","):
             name = name.strip()
             if not name:
                 continue
             root = os.path.join(args.classification_data_dir, name)
-            if os.path.isdir(root):
-                ds = ImageFolderDataset(root, transform=eval_tf)
-                data[name] = _LabeledImageLoader(ds, args.batch_size)
-            else:
+            if not os.path.isdir(root):
                 logger.warning(f"classification dataset dir missing: {root}")
+                continue
+            try:
+                ds = ClassificationDataset(name, root, transform=eval_tf)
+            except (KeyError, FileNotFoundError) as e:
+                logger.warning(
+                    f"{name}: native reader failed ({e}); "
+                    "falling back to class-folder layout"
+                )
+                ds = ImageFolderDataset(root, transform=eval_tf)
+            data[name] = _LabeledImageLoader(ds, args.batch_size)
 
     return data

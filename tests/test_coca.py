@@ -1,0 +1,63 @@
+"""CoCa model: forward shapes, caption loss integration, generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosmos_tpu.models.factory import create_model
+from cosmos_tpu.losses import CoCaLoss
+
+
+@pytest.fixture(scope="module")
+def coca():
+    return create_model("coca_Tiny-Test")
+
+
+def test_forward_shapes(coca):
+    model, params = coca
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    text = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 1, 511)
+    out = model.apply({"params": params}, imgs, text)
+    assert out["image_features"].shape == (2, 32)
+    assert out["text_features"].shape == (2, 32)
+    # teacher forcing drops the last position; CLS excluded from tokens
+    assert out["logits"].shape == (2, 11, 512)
+    assert out["labels"].shape == (2, 11)
+    np.testing.assert_array_equal(np.asarray(out["labels"]),
+                                  np.asarray(text[:, 1:]))
+
+
+def test_caption_loss_integration(coca):
+    model, params = coca
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    text = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 1, 511)
+    out = model.apply({"params": params}, imgs, text)
+    losses = CoCaLoss()(
+        out["image_features"], out["text_features"], out["logits"],
+        out["labels"], out["logit_scale"], output_dict=True,
+    )
+    assert np.isfinite(float(losses["caption_loss"]))
+    assert np.isfinite(float(losses["contrastive_loss"]))
+
+
+def test_generation(coca):
+    from cosmos_tpu.models.coca import generate
+
+    model, params = coca
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    toks = generate(
+        model, params, imgs, seq_len=8,
+        sot_token_id=510, eot_token_id=511, min_seq_len=2,
+        generation_type="greedy",
+    )
+    assert toks.shape == (2, 8)
+    assert (np.asarray(toks[:, 0]) == 510).all()
+    # sampling modes run
+    for gt in ("top_k", "top_p"):
+        t2 = generate(
+            model, params, imgs, seq_len=8, sot_token_id=510,
+            eot_token_id=511, min_seq_len=2, generation_type=gt,
+            top_k=5, top_p=0.9, rng=jax.random.PRNGKey(3),
+        )
+        assert t2.shape == (2, 8)
