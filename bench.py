@@ -64,7 +64,10 @@ def main() -> None:
     step_fn = make_train_step(model, optimizer, mesh, cfg)
     state = create_train_state(params, optimizer)
 
-    b = 64 * n_dev  # reference per-device batch 64 (train_cc3m.sh:36)
+    import os
+    b = int(os.environ.get("BENCH_BATCH", "64")) * n_dev
+    # reference per-device batch is 64 (train_cc3m.sh:36); larger per-chip
+    # batches raise MXU utilization — images/sec is what the metric tracks
     rng = np.random.default_rng(0)
     batch = {
         "global_images": rng.normal(size=(2, b, 224, 224, 3)).astype(np.float32),

@@ -65,6 +65,9 @@ class WdsTrainConfig:
     process_count: int = 1
     resampled: bool = False
     use_multicrop: bool = True
+    # native C++ tar streaming + DCT-scaled JPEG decode (native/tario.cpp);
+    # falls back to the pure-Python path when the library isn't built
+    use_native_io: bool = True
 
 
 def _worker_loop(cfg: WdsTrainConfig, worker_index: int, epoch0: int,
@@ -105,17 +108,72 @@ def _worker_loop(cfg: WdsTrainConfig, worker_index: int, epoch0: int,
         worker_count=cfg.num_workers,
     )
 
+    use_native = False
+    if cfg.use_native_io:
+        try:
+            from cosmos_tpu.data import native as native_io
+
+            use_native = native_io.available()
+        except Exception:
+            use_native = False
+    # decode JPEGs at a reduced DCT scale but keep >= 2x the largest crop
+    # so RandomResizedCrop statistics are unchanged (crop geometry is
+    # relative; only sub-crop texture beyond 2x target is dropped)
+    decode_min_size = 2 * cfg.image_size
+
     epoch = epoch0
     while True:
         rng = random.Random(hash((cfg.seed, epoch, cfg.process_index, worker_index)))
 
         def sample_stream():
+            import io as _io
+            import json as _json
+
+            from PIL import Image
+
+            from cosmos_tpu.data.webdataset import IMG_EXTS
+
             for shard in shards.epoch_shards(epoch):
-                for raw in tar_to_samples(shard):
-                    decoded = decode_sample(raw)
-                    if decoded is None:
-                        continue
-                    yield decoded
+                if use_native:
+                    from cosmos_tpu.data import native as native_io
+
+                    for raw in native_io.NativeTarStream([shard]):
+                        meta = None
+                        if "json" in raw:
+                            try:
+                                meta = _json.loads(raw["json"])
+                            except Exception:
+                                continue
+                        elif "txt" in raw:
+                            meta = {"raw_caption": [raw["txt"].decode("utf-8", "replace")]}
+                        if meta is None:
+                            continue
+                        img = None
+                        if "jpg" in raw or "jpeg" in raw:
+                            arr = native_io.decode_jpeg_scaled(
+                                raw.get("jpg") or raw.get("jpeg"),
+                                min_size=decode_min_size,
+                            )
+                            if arr is not None:
+                                img = Image.fromarray(arr)
+                        if img is None:
+                            for ext in IMG_EXTS:
+                                if ext in raw:
+                                    try:
+                                        img = Image.open(_io.BytesIO(raw[ext]))
+                                        img.load()
+                                    except Exception:
+                                        img = None
+                                    break
+                        if img is None:
+                            continue
+                        yield img, meta
+                else:
+                    for raw in tar_to_samples(shard):
+                        decoded = decode_sample(raw)
+                        if decoded is None:
+                            continue
+                        yield decoded
 
         n_crops = cfg.global_crops_number + cfg.local_crops_number
         k = cfg.num_sampled_captions
