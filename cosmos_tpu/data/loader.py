@@ -316,3 +316,47 @@ class MapDatasetLoader:
                 firsts = [np.asarray(it[0]) for it in items]
                 seconds = [np.asarray(it[1]) for it in items]
                 yield np.stack(firsts), np.stack(seconds)
+
+
+class WdsValLoader:
+    """Single-pass (images [B,H,W,3] f32, texts [B,L]) batches over val tar
+    shards with the eval transform — the contrastive-val-loss input
+    (reference data.py val branch of get_wds_dataset, not resampled)."""
+
+    def __init__(self, urls, batch_size: int, image_size: int = 224,
+                 context_length: int = 77, num_samples: Optional[int] = None):
+        self.urls = list(urls)
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.context_length = context_length
+        self.num_samples = num_samples
+
+    def __iter__(self):
+        from cosmos_tpu.data.tokenizer import SimpleTokenizer
+        from cosmos_tpu.data.transforms import EvalTransform
+        from cosmos_tpu.data.webdataset import decode_sample, tar_to_samples
+
+        tokenizer = SimpleTokenizer(context_length=self.context_length)
+        tf = EvalTransform(image_size=self.image_size)
+        imgs, txts = [], []
+        seen = 0
+        for shard in self.urls:
+            for raw in tar_to_samples(shard):
+                decoded = decode_sample(raw)
+                if decoded is None:
+                    continue
+                img, meta = decoded
+                caption = meta.get("raw_caption") or [""]
+                caption = caption[0] if isinstance(caption, list) else caption
+                imgs.append(tf(img))
+                txts.append(tokenizer([caption])[0])
+                seen += 1
+                if len(imgs) == self.batch_size:
+                    yield np.stack(imgs), np.stack(txts)
+                    imgs, txts = [], []
+                if self.num_samples and seen >= self.num_samples:
+                    break
+            if self.num_samples and seen >= self.num_samples:
+                break
+        if imgs:
+            yield np.stack(imgs), np.stack(txts)

@@ -169,6 +169,19 @@ def get_data(
             "csv training: use webdataset shards or synthetic for now"
         )
 
+    if args.val_data:
+        from cosmos_tpu.data.loader import WdsValLoader
+        from cosmos_tpu.data.webdataset import expand_urls as _expand
+
+        val_urls, _ = _expand(args.val_data)
+        data["val"] = WdsValLoader(
+            val_urls,
+            batch_size=args.batch_size,
+            image_size=image_size,
+            context_length=context_length,
+            num_samples=args.val_num_samples,
+        )
+
     eval_tf = EvalTransform(image_size=image_size)
 
     if args.data_root_dir:

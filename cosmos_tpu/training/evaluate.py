@@ -23,7 +23,11 @@ import numpy as np
 from cosmos_tpu.data.datasets import RetrievalData
 from cosmos_tpu.data.loader import MapDatasetLoader
 from cosmos_tpu.data.transforms import EvalTransform
-from cosmos_tpu.training.retrieval import encode_in_batches, evaluate_retrieval
+from cosmos_tpu.training.retrieval import (
+    encode_in_batches,
+    evaluate_retrieval,
+    get_clip_metrics,
+)
 from cosmos_tpu.training.zero_shot import (
     zero_shot_classification_eval,
     zero_shot_eval,
@@ -143,6 +147,10 @@ def evaluate(
 ) -> Dict[str, float]:
     """Student + EMA-teacher evaluation (train.py:325-424 surface)."""
     metrics: Dict[str, float] = {"epoch": epoch}
+    if "val" in data:
+        metrics.update(
+            evaluate_on_split(model, state.params, data["val"], epoch=epoch)
+        )
     metrics.update(
         evaluate_model(
             model, state.params, tokenizer, data,
@@ -163,4 +171,63 @@ def evaluate(
         os.makedirs(os.path.dirname(results_file), exist_ok=True)
         with open(results_file, "a") as f:
             f.write(json.dumps(metrics) + "\n")
+    return metrics
+
+
+def evaluate_on_split(
+    model,
+    params,
+    dataloader,
+    *,
+    keyword: str = "",
+    epoch: int = 0,
+) -> Dict[str, float]:
+    """Contrastive val loss + in-batch rank metrics over a val split
+    (train.py:527-610).  Features accumulate on host; the in-batch CLIP
+    loss uses per-batch diagonal labels like the reference."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def batch_feats(p, images, texts):
+        out = model.apply({"params": p}, images, texts)
+        return (
+            out["image_features"],
+            out["text_features"],
+            out["logit_scale"],
+        )
+
+    all_img, all_txt = [], []
+    cumulative_loss = 0.0
+    num_samples = 0
+    scale = 1.0
+    for images, texts in dataloader:
+        img_f, txt_f, scale_v = batch_feats(
+            params, jnp.asarray(images), jnp.asarray(np.asarray(texts, np.int32))
+        )
+        scale = float(scale_v)
+        img_f32 = np.asarray(img_f, np.float32)
+        txt_f32 = np.asarray(txt_f, np.float32)
+        all_img.append(img_f32)
+        all_txt.append(txt_f32)
+        logits = scale * img_f32 @ txt_f32.T
+        b = logits.shape[0]
+
+        def ce(lg):
+            lg = lg - lg.max(axis=1, keepdims=True)
+            logp = lg - np.log(np.exp(lg).sum(axis=1, keepdims=True))
+            return -np.mean(np.diag(logp))
+
+        cumulative_loss += 0.5 * (ce(logits) + ce(logits.T)) * b
+        num_samples += b
+    if num_samples == 0:
+        return {}
+    prefix = f"{keyword}_" if keyword else ""
+    metrics = {
+        f"{prefix}{k}": v
+        for k, v in get_clip_metrics(
+            np.concatenate(all_img), np.concatenate(all_txt), scale
+        ).items()
+    }
+    metrics[f"{prefix}clip_val_loss"] = float(cumulative_loss / num_samples)
+    metrics[f"{prefix}num_samples"] = num_samples
     return metrics

@@ -1,0 +1,48 @@
+"""Val-split contrastive loss eval: WdsValLoader + evaluate_on_split."""
+
+import io
+import json
+import tarfile
+
+import numpy as np
+from PIL import Image
+
+from cosmos_tpu.data.loader import WdsValLoader
+from cosmos_tpu.models.factory import create_model
+from cosmos_tpu.training.evaluate import evaluate_on_split
+
+
+def _make_val_shard(path, n):
+    rng = np.random.default_rng(0)
+    with tarfile.open(path, "w") as tf:
+        for i in range(n):
+            key = f"{i:05d}"
+            img = Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+            b = io.BytesIO()
+            img.save(b, format="JPEG")
+            data = b.getvalue()
+            ti = tarfile.TarInfo(f"{key}.jpg")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+            txt = f"caption number {i}".encode()
+            tj = tarfile.TarInfo(f"{key}.txt")
+            tj.size = len(txt)
+            tf.addfile(tj, io.BytesIO(txt))
+    return str(path)
+
+
+def test_val_loader_and_eval(tmp_path):
+    shard = _make_val_shard(tmp_path / "val.tar", 10)
+    loader = WdsValLoader([shard], batch_size=4, image_size=32,
+                          context_length=16)
+    batches = list(loader)
+    assert sum(b[0].shape[0] for b in batches) == 10
+    assert batches[0][0].shape == (4, 32, 32, 3)
+    assert batches[0][1].shape == (4, 16)
+
+    model, params = create_model("ViT-Tiny-Test")
+    metrics = evaluate_on_split(model, params, loader, keyword="val")
+    assert "val_clip_val_loss" in metrics
+    assert np.isfinite(metrics["val_clip_val_loss"])
+    assert metrics["val_num_samples"] == 10
+    assert "val_image_to_text_R@1" in metrics
