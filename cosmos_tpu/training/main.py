@@ -217,6 +217,7 @@ def main(argv=None) -> Dict:
         input_dtype=(jnp.bfloat16 if args.precision in
                      ("amp", "amp_bf16", "bf16", "pure_bf16", "fp16")
                      else jnp.float32),
+        accum_freq=args.accum_freq,
     )
     step_fn = make_train_step(model, optimizer, mesh, step_cfg)
     state = create_train_state(params, optimizer)
@@ -250,8 +251,9 @@ def main(argv=None) -> Dict:
             )
             sync_proc.start()
 
-    # --- reporting -------------------------------------------------------
+    # --- reporting (main.py:474-506) -------------------------------------
     writer = None
+    wandb_run = None
     if is_master and "tensorboard" in args.report_to:
         try:
             from torch.utils.tensorboard import SummaryWriter
@@ -259,6 +261,18 @@ def main(argv=None) -> Dict:
             writer = SummaryWriter(os.path.join(log_dir, "tensorboard"))
         except Exception as e:
             logger.warning(f"tensorboard unavailable: {e}")
+    if is_master and "wandb" in args.report_to:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(
+                project=args.wandb_project_name,
+                name=args.name,
+                config=vars(args),
+                resume="auto",
+            )
+        except Exception as e:
+            logger.warning(f"wandb unavailable: {e}")
 
     # --- epoch loop (main.py:540-584) ------------------------------------
     loader_iter = iter(train_info.dataloader)
@@ -269,7 +283,7 @@ def main(argv=None) -> Dict:
         train_info.set_epoch(epoch)
         state, epoch_metrics = train_one_epoch(
             step_fn, state, loader_iter, mesh, steps_per_epoch,
-            epoch=epoch, args=args, writer=writer,
+            epoch=epoch, args=args, writer=writer, wandb_run=wandb_run,
             global_batch=global_batch, shard_batch_fn=shard_batch,
         )
         all_metrics.update(epoch_metrics)
@@ -313,20 +327,29 @@ def train_one_epoch(
     epoch: int,
     args,
     writer=None,
+    wandb_run=None,
     global_batch: int,
     shard_batch_fn,
 ):
     """Hot loop (train.py:69-321): fetch batch, shard, step, log meters."""
     import jax
+    import numpy as _np
 
     metrics = {}
     data_time = step_time = 0.0
     t_end = time.perf_counter()
     for i in range(steps_per_epoch):
-        batch = next(loader_iter)
+        if args.accum_freq > 1:
+            micro = [next(loader_iter) for _ in range(args.accum_freq)]
+            batch = {
+                k: _np.stack([m[k] for m in micro]) for k in micro[0]
+            }
+            batch = shard_batch_fn(batch, mesh, batch_axis=2)
+        else:
+            batch = next(loader_iter)
+            batch = shard_batch_fn(batch, mesh, batch_axis=1)
         t_data = time.perf_counter()
         data_time += t_data - t_end
-        batch = shard_batch_fn(batch, mesh, batch_axis=1)
         state, m = step_fn(state, batch)
         if (i % args.log_every_n_steps == 0) or (i == steps_per_epoch - 1):
             loss = float(m["loss"])  # forces completion of the chain
@@ -347,12 +370,18 @@ def train_one_epoch(
                 )
                 + f" samples/s {samples_per_sec:.1f} data_t {data_time:.2f}s"
             )
+            step_num = epoch * steps_per_epoch + i
             if writer is not None:
-                step_num = epoch * steps_per_epoch + i
                 for k, v in scalars.items():
                     writer.add_scalar(f"train/{k}", v, step_num)
                 writer.add_scalar("train/samples_per_sec", samples_per_sec,
                                   step_num)
+            if wandb_run is not None:
+                wandb_run.log(
+                    {**{f"train/{k}": v for k, v in scalars.items()},
+                     "train/samples_per_sec": samples_per_sec},
+                    step=step_num,
+                )
             metrics = scalars
             data_time = 0.0
             t_end = time.perf_counter()

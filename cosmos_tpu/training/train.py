@@ -120,6 +120,10 @@ class TrainStepConfig:
     momentum_teacher: float = 0.999
     lr_schedule: Optional[Callable] = None          # for metric reporting
     input_dtype: Any = jnp.float32
+    # real gradient accumulation (the reference's --accum-freq was a dead
+    # branch asserted ==1 in the COSMOS path, train.py:143): micro-batches
+    # arrive stacked on a leading axis and grads average via lax.scan
+    accum_freq: int = 1
     # on-device normalization for uint8 batches (loader ships uint8 crops;
     # the (x/255 - mean)/std runs fused on the TPU, 4x less H2D traffic)
     image_mean: Tuple[float, ...] = (0.48145466, 0.4578275, 0.40821073)
@@ -212,9 +216,39 @@ def make_train_step(
         return total, losses
 
     def _step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        (total, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            state.params, state.teacher_params, batch, state.step
-        )
+        if cfg.accum_freq > 1:
+            # batch leaves are [A, V, B_local, ...]
+            def micro(carry, mb):
+                tot_s, aux_s, grads_s = carry
+                (t, a), g = jax.value_and_grad(_loss_fn, has_aux=True)(
+                    state.params, state.teacher_params, mb, state.step
+                )
+                return (
+                    tot_s + t,
+                    jax.tree.map(jnp.add, aux_s, a),
+                    jax.tree.map(jnp.add, grads_s, g),
+                ), None
+
+            zero_aux = {
+                "clip_loss" if cfg.cosmos else "contrastive_loss": 0.0,
+                **({"distill_loss": 0.0, "logit_scale": 0.0} if cfg.cosmos
+                   else {"logit_scale": 0.0}),
+            }
+            zero_aux = {k: jnp.zeros(()) for k in zero_aux}
+            init = (
+                jnp.zeros(()),
+                zero_aux,
+                jax.tree.map(jnp.zeros_like, state.params),
+            )
+            (total, aux, grads), _ = jax.lax.scan(micro, init, batch)
+            inv = 1.0 / cfg.accum_freq
+            total = total * inv
+            aux = jax.tree.map(lambda x: x * inv, aux)
+            grads = jax.tree.map(lambda x: x * inv, grads)
+        else:
+            (total, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+                state.params, state.teacher_params, batch, state.step
+            )
         grads = jax.lax.pmean(grads, DATA_AXIS)
         total = jax.lax.pmean(total, DATA_AXIS)
         aux = {k: jax.lax.pmean(v, DATA_AXIS) for k, v in aux.items()}
@@ -254,7 +288,10 @@ def make_train_step(
         )
         return new_state, metrics
 
-    batch_spec = P(None, DATA_AXIS)  # prefix spec: axis 1 of every leaf
+    batch_axis = 2 if cfg.accum_freq > 1 else 1
+    batch_spec = (
+        P(None, None, DATA_AXIS) if cfg.accum_freq > 1 else P(None, DATA_AXIS)
+    )  # prefix spec: the batch axis of every leaf
     sharded_step = shard_map(
         _step,
         mesh=mesh,
