@@ -48,6 +48,7 @@ def main() -> None:
         output_all=True,
         attentional_pool=True,
         add_zero_attn=True,
+        act_approx=True,  # tanh GELU: pretraining benchmark (see --gelu-approx)
     )
     lr = cosine_lr(5e-4, 2000, 100000)
     optimizer = create_optimizer(

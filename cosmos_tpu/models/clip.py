@@ -52,11 +52,15 @@ class CLIP(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    act_approx: bool = False   # tanh GELU (faster; tiny numeric deviation)
 
     def setup(self):
         c = self.cfg
         v, t = c.vision_cfg, c.text_cfg
-        act = get_act_fn("quick_gelu" if c.quick_gelu else "gelu")
+        if c.quick_gelu:
+            act = get_act_fn("quick_gelu")
+        else:
+            act = get_act_fn("gelu_tanh" if self.act_approx else "gelu")
         self.visual = VisionTransformer(
             image_size=v.image_size,
             patch_size=v.patch_size,

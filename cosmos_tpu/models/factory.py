@@ -53,6 +53,7 @@ def create_model(
     add_zero_attn: bool = False,
     grad_checkpointing: bool = False,
     use_flash: bool = False,
+    act_approx: bool = False,
     force_quick_gelu: bool = False,
     force_patch_dropout: Optional[float] = None,
     force_image_size: Optional[int] = None,
@@ -86,6 +87,7 @@ def create_model(
             dtype=resolve_dtype(precision),
             remat=grad_checkpointing,
             use_flash=use_flash,
+            act_approx=act_approx,
         )
     params = None
     if init_params:

@@ -53,20 +53,38 @@ class RetrievalImageDataset:
         return self.transform(img), self.data.image_ids[idx]
 
 
-def make_encoders(model, params):
-    """Jitted normalized encoders over fixed batch shapes."""
+def make_encoders(model, params, mesh=None):
+    """Jitted normalized encoders over fixed batch shapes.
 
-    @jax.jit
+    With a mesh, eval batches shard over the data axis — ALL devices
+    evaluate (the reference gates eval to rank 0, train.py:327-328;
+    SURVEY.md §2.3 notes full-mesh eval as the TPU-native upgrade).
+    """
+    kwargs = {}
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cosmos_tpu.parallel.mesh import DATA_AXIS
+
+        kwargs = dict(
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(DATA_AXIS)),
+            ),
+            out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+        )
+
+    @functools.partial(jax.jit, **kwargs)
     def enc_image(p, images):
         out = model.apply({"params": p}, images, True, method=model.encode_image)
         return out["image_features"]
 
-    @jax.jit
+    @functools.partial(jax.jit, **kwargs)
     def enc_text_norm(p, tokens):
         out = model.apply({"params": p}, tokens, True, method=model.encode_text)
         return out["text_features"]
 
-    @jax.jit
+    @functools.partial(jax.jit, **kwargs)
     def enc_text_raw(p, tokens):
         out = model.apply({"params": p}, tokens, False, method=model.encode_text)
         return out["text_features"]
@@ -87,9 +105,10 @@ def evaluate_model(
     prefix: str = "",
     batch_size: int = 256,
     image_size: int = 224,
+    mesh=None,
 ) -> Dict[str, float]:
     """Run every eval the data dict carries for one set of weights."""
-    enc_image, enc_text_norm, enc_text_raw = make_encoders(model, params)
+    enc_image, enc_text_norm, enc_text_raw = make_encoders(model, params, mesh)
     metrics: Dict[str, float] = {}
 
     for name in ("coco-retrieval", "flickr-retrieval"):
@@ -144,6 +163,7 @@ def evaluate(
     data: Dict,
     epoch: int,
     args,
+    mesh=None,
 ) -> Dict[str, float]:
     """Student + EMA-teacher evaluation (train.py:325-424 surface)."""
     metrics: Dict[str, float] = {"epoch": epoch}
@@ -154,14 +174,14 @@ def evaluate(
     metrics.update(
         evaluate_model(
             model, state.params, tokenizer, data,
-            prefix="", batch_size=args.batch_size,
+            prefix="", batch_size=args.batch_size, mesh=mesh,
         )
     )
     if getattr(args, "eval_teacher", True) and state.teacher_params is not None:
         metrics.update(
             evaluate_model(
                 model, state.teacher_params, tokenizer, data,
-                prefix="ema_", batch_size=args.batch_size,
+                prefix="ema_", batch_size=args.batch_size, mesh=mesh,
             )
         )
     if getattr(args, "checkpoint_path", None):

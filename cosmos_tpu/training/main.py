@@ -132,6 +132,7 @@ def main(argv=None) -> Dict:
         add_zero_attn=args.add_zero_attn,
         grad_checkpointing=args.grad_checkpointing,
         use_flash=args.use_flash_attention,
+        act_approx=args.gelu_approx,
         force_quick_gelu=args.force_quick_gelu,
         force_patch_dropout=args.force_patch_dropout,
         force_image_size=args.force_image_size,
@@ -294,7 +295,8 @@ def main(argv=None) -> Dict:
             and (completed % args.val_frequency == 0 or completed == args.epochs)
             and is_master
         ):
-            eval_metrics = evaluate(model, state, tokenizer, data, completed, args)
+            eval_metrics = evaluate(model, state, tokenizer, data, completed, args,
+                                    mesh=mesh)
             all_metrics.update(eval_metrics)
             if writer is not None:
                 for k, v in eval_metrics.items():

@@ -95,7 +95,13 @@ def evaluate_retrieval(
 
     img_feats_list, img_ids_list = [], []
     for images, ids in image_loader:
-        feats = np.asarray(encode_image_fn(jnp.asarray(images)))
+        real = images.shape[0]
+        if real < batch_size:
+            # pad ragged final batch so one compiled (and possibly
+            # mesh-sharded) shape serves the whole pass
+            pad = np.repeat(images[-1:], batch_size - real, axis=0)
+            images = np.concatenate([images, pad], axis=0)
+        feats = np.asarray(encode_image_fn(jnp.asarray(images)))[:real]
         img_feats_list.append(feats)
         img_ids_list.append(np.asarray(ids))
     img_feats = np.concatenate(img_feats_list)

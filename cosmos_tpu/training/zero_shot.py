@@ -100,8 +100,16 @@ def run_classification_eval(
 ) -> Tuple[float, float]:
     """logits = 100 * normalized image features @ classifier (zero_shot.py:17-42)."""
     top1 = top5 = n = 0.0
+    expected_batch = None
     for images, target in dataloader:
-        feats = encode_image_fn(jnp.asarray(images))
+        real = images.shape[0]
+        if expected_batch is None:
+            expected_batch = real
+        if real < expected_batch:
+            # pad ragged final batch (one compiled/sharded shape)
+            pad = np.repeat(images[-1:], expected_batch - real, axis=0)
+            images = np.concatenate([images, pad], axis=0)
+        feats = encode_image_fn(jnp.asarray(images))[:real]
         feats = feats.astype(jnp.float32)
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         logits = 100.0 * feats @ classifier

@@ -37,3 +37,4 @@ python -m cosmos_tpu.training.main \
     --attentional-pool \
     --cosmos \
     "$@"
+# add --gelu-approx for ~23% faster steps (tanh GELU, from-scratch training)

@@ -118,3 +118,23 @@ def test_asset_banks_complete():
     # dataloader-module aliases resolve too
     for alias in ("fgvc_aircraft", "oxford_pets", "flowers102"):
         assert bank_key(alias) in banks["templates"], alias
+
+
+def test_mesh_sharded_encoders_match_single_device():
+    import jax
+    from cosmos_tpu.models.factory import create_model
+    from cosmos_tpu.parallel.mesh import create_mesh
+    from cosmos_tpu.training.evaluate import make_encoders
+
+    model, params = create_model("ViT-Tiny-Test")
+    mesh = create_mesh(8)
+    enc_i_plain, enc_t_plain, _ = make_encoders(model, params, mesh=None)
+    enc_i_mesh, enc_t_mesh, _ = make_encoders(model, params, mesh=mesh)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (16, 32, 32, 3))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (16, 16), 1, 49407)
+    np.testing.assert_allclose(
+        np.asarray(enc_i_mesh(imgs)), np.asarray(enc_i_plain(imgs)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(enc_t_mesh(toks)), np.asarray(enc_t_plain(toks)), atol=1e-5
+    )
