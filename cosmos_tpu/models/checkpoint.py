@@ -160,6 +160,14 @@ def torch_state_dict_to_params(
         )
         for k, v in state_dict.items()
     }
+    if any(k.startswith("text.transformer.resblocks.") for k in sd):
+        # CustomTextCLIP layout (model.py:440): text tower under a 'text.'
+        # prefix instead of inlined at the top level — normalize to the
+        # inlined CLIP naming the map below expects
+        sd = {
+            (k[len("text."):] if k.startswith("text.") else k): v
+            for k, v in sd.items()
+        }
     vision_layers = len(
         [k for k in reference_params["visual"]["transformer"] if k.startswith("resblocks")]
     )

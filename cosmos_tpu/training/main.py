@@ -201,6 +201,8 @@ def main(argv=None) -> Dict:
         eps=args.eps,
         weight_decay=args.wd,
         grad_clip_norm=args.grad_clip_norm,
+        lock_image=args.lock_image,
+        lock_text=args.lock_text,
     )
     momentum_schedule = cosine_scheduler(
         args.momentum_teacher, 1.0, 0, total_steps

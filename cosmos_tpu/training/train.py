@@ -62,6 +62,21 @@ def wd_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
+def frozen_mask(params, lock_image: bool = False, lock_text: bool = False):
+    """True where updates must be ZEROED (LiT locking, main.py:321-335:
+    lock_image_tower / lock_text freeze whole towers)."""
+
+    def mark(path, leaf):
+        top = path[0].key if path and hasattr(path[0], "key") else ""
+        if lock_image and top == "visual":
+            return True
+        if lock_text and top == "text":
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
 def create_optimizer(
     lr_schedule: Callable,
     *,
@@ -70,6 +85,8 @@ def create_optimizer(
     eps: float = 1e-6,
     weight_decay: float = 0.2,
     grad_clip_norm: Optional[float] = None,
+    lock_image: bool = False,
+    lock_text: bool = False,
 ) -> optax.GradientTransformation:
     txs = []
     if grad_clip_norm is not None:
@@ -84,6 +101,13 @@ def create_optimizer(
             mask=wd_mask,
         )
     )
+    if lock_image or lock_text:
+        txs.append(
+            optax.masked(
+                optax.set_to_zero(),
+                lambda params: frozen_mask(params, lock_image, lock_text),
+            )
+        )
     return optax.chain(*txs)
 
 

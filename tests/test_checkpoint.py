@@ -190,3 +190,21 @@ def test_pos_embed_resize_on_mismatch():
     ).astype(np.float32)
     back = torch_state_dict_to_params(sd, params)
     assert back["visual"]["positional_embedding"].shape == (5, 16)
+
+
+def test_custom_text_clip_prefix_normalized():
+    model, params = create_model("ViT-B-16", **TINY)
+    sd = params_to_torch_state_dict(params)
+    # re-encode as a CustomTextCLIP-style state dict
+    remapped = {}
+    for k, v in sd.items():
+        if k.split(".")[0] in ("transformer", "token_embedding", "ln_final") \
+           or k in ("positional_embedding", "text_projection"):
+            remapped["text." + k] = v
+        else:
+            remapped[k] = v
+    back = torch_state_dict_to_params(remapped, params, strict=True)
+    np.testing.assert_allclose(
+        np.asarray(back["text"]["text_projection_kernel"]),
+        np.asarray(params["text"]["text_projection_kernel"]),
+    )

@@ -178,3 +178,22 @@ def test_grad_accumulation_matches_big_batch():
     assert np.isfinite(float(m_acc["loss"]))
     # EMA/clamp machinery still applied
     assert float(s_acc.step) == 1
+
+
+def test_lit_locking_freezes_image_tower():
+    from cosmos_tpu.training.train import frozen_mask
+
+    model, params = create_model("ViT-B-16", **TINY)
+    mesh = create_mesh(4)
+    opt = create_optimizer(cosine_lr(1e-2, 0, 10), lock_image=True)
+    step = make_train_step(model, opt, mesh, TrainStepConfig(cosmos=False))
+    state = create_train_state(jax.tree.map(jnp.copy, params), opt)
+    before_vis = np.asarray(params["visual"]["proj"])
+    before_txt = np.asarray(params["text"]["positional_embedding"])
+    state, _ = step(state, make_batch(jax.random.PRNGKey(0), k=1))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["visual"]["proj"]), before_vis
+    )
+    assert np.abs(
+        np.asarray(state.params["text"]["positional_embedding"]) - before_txt
+    ).max() > 0
