@@ -8,9 +8,18 @@ jitted train step on this host's TPU chip(s) and reports images/sec/chip
 accounting at train.py:268-270).
 
 The reference publishes no throughput number; the baseline constant below
-is an engineering estimate of A100-40GB per-GPU throughput for this exact
-multi-crop workload (~3.2x single-image ViT-B/16 FLOPs + 8 caption text
-encodes + teacher forward at per-GPU batch 64 under torch AMP).
+is a FLOPs-derived estimate of the reference's A100-40GB per-GPU rate:
+
+  per-sample step cost (ViT-B/16, 2x224 + 6x96 crops, 8 captions):
+    student fwd  ~ 2x35 + 6x6.6 + 8x5.8  = 156 GFLOP
+    student bwd  ~ 2x fwd                 = 312 GFLOP
+    teacher fwd  ~ 2x35 + 2x5.8           =  82 GFLOP
+    total        ~ 550 GFLOP/sample  (~35 TFLOP per batch-64 step)
+  A100 fp16/bf16 tensor-core peak 312 TFLOP/s; torch AMP with unfused
+  SDPA-era kernels, per-crop-group Python loops and a host-side EMA
+  parameter loop realistically sustains ~30-35% MFU on this workload
+  => 94-109 TFLOP/s => ~170-200 images/sec/GPU.  Baseline set at the
+  middle of that range.
 
 Prints ONE JSON line.
 """
@@ -22,9 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Estimated reference A100-40GB per-GPU rate for the CC3M COSMOS config
-# (not published; see module docstring).
-A100_BASELINE_IMG_PER_SEC_PER_DEV = 340.0
+# FLOPs-derived estimate of the reference's A100-40GB per-GPU rate for the
+# CC3M COSMOS config (not published; derivation in module docstring).
+A100_BASELINE_IMG_PER_SEC_PER_DEV = 185.0
 
 
 def main() -> None:

@@ -61,10 +61,10 @@ def dot_product_attention(
     if mask is not None:
         logits = logits + mask.astype(logits.dtype)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    return jnp.einsum(
-        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
-    ).astype(v.dtype)
+    # no preferred_element_type here: the MXU accumulates bf16 dots in f32
+    # internally, but the hint forces an f32 OUTPUT tensor — measured
+    # ~70ms/step of pure HBM traffic on v5e
+    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
 
 
 class MultiheadAttention(nn.Module):
@@ -135,10 +135,7 @@ class MultiheadAttention(nn.Module):
             kk_ = jnp.einsum("bhqd,bhkd->bhqk", kh, kh,
                              preferred_element_type=jnp.float32) * scale
             weights = jax.nn.softmax(qq, axis=-1) + jax.nn.softmax(kk_, axis=-1)
-            out = jnp.einsum(
-                "bhqk,bhkd->bhqd", weights.astype(vh.dtype), vh,
-                preferred_element_type=jnp.float32,
-            ).astype(vh.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(vh.dtype), vh)
         elif self.use_flash and kv is None and (mask is None or causal):
             # causal=True means the additive mask (if any) is exactly the
             # causal mask, which the kernel applies itself

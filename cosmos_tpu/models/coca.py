@@ -72,10 +72,7 @@ class MultimodalTransformer(nn.Module):
             (self.width, self.vocab_size),
             jnp.float32,
         )
-        return jnp.dot(
-            x.astype(self.dtype), proj.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        return jnp.dot(x.astype(self.dtype), proj.astype(self.dtype))
 
 
 class CoCa(nn.Module):
@@ -152,10 +149,8 @@ class CoCa(nn.Module):
         pooled_seq = self.ln_attn_pool(pooled_seq)
         latent, tokens = pooled_seq[:, 0], pooled_seq[:, 1:]
         latent = jnp.dot(
-            latent.astype(self.dtype),
-            self.visual.proj.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+            latent.astype(self.dtype), self.visual.proj.astype(self.dtype)
+        )
         if normalize:
             latent = l2_normalize(latent)
         return latent, tokens

@@ -155,8 +155,7 @@ class TextTransformer(nn.Module):
             pooled = jnp.dot(
                 pooled.astype(self.dtype),
                 self.text_projection.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
+            )
         return pooled, tokens
 
     def _pool(self, x: jax.Array, text: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -165,7 +165,9 @@ class VisionTransformer(nn.Module):
         x = images.reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
         kernel = self.conv1_kernel.reshape(p * p * 3, self.width).astype(self.dtype)
-        return jnp.dot(x.astype(self.dtype), kernel, preferred_element_type=jnp.float32).astype(self.dtype)
+        # no f32 output hint: MXU accumulates in f32 internally; the hint
+        # would materialize an f32 activation tensor (pure HBM cost)
+        return jnp.dot(x.astype(self.dtype), kernel)
 
     def __call__(
         self,
@@ -202,10 +204,7 @@ class VisionTransformer(nn.Module):
             x = self.ln_post(x)
             pooled, tokens = self._pool(x)
 
-        pooled = jnp.dot(
-            pooled.astype(self.dtype), self.proj.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        pooled = jnp.dot(pooled.astype(self.dtype), self.proj.astype(self.dtype))
         return pooled, tokens
 
     def _pool(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -81,6 +81,94 @@ class SyntheticTrainLoader:
             yield batch
 
 
+class CsvTrainLoader:
+    """Train batches from a CSV of (image path, caption) rows
+    (reference CsvDataset, data.py:48-66) shaped like the wds stream."""
+
+    def __init__(self, cfg: WdsTrainConfig, csv_path: str, img_key: str,
+                 caption_key: str, sep: str):
+        import csv as _csv
+
+        from cosmos_tpu.data.tokenizer import SimpleTokenizer
+
+        self.cfg = cfg
+        self.rows = []
+        with open(csv_path, newline="") as f:
+            for row in _csv.DictReader(f, delimiter=sep):
+                self.rows.append((row[img_key], row[caption_key]))
+        if not self.rows:
+            raise ValueError(f"no rows in {csv_path}")
+        self.tokenizer = SimpleTokenizer(context_length=cfg.context_length)
+        if cfg.use_multicrop:
+            self.transform = MulticropAugmentation(
+                image_size=cfg.image_size,
+                local_crops_number=cfg.local_crops_number,
+                crop_scale=cfg.crop_scale,
+                local_size=cfg.local_size,
+                as_uint8=True,
+            )
+        else:
+            from cosmos_tpu.data.transforms import TrainTransform
+
+            self.transform = TrainTransform(image_size=cfg.image_size,
+                                            as_uint8=True)
+        self._epoch = 0
+
+    def __len__(self):
+        return len(self.rows)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __iter__(self):
+        from PIL import Image
+
+        rng = random.Random(self.cfg.seed + self._epoch)
+        order = list(range(len(self.rows)))
+        while True:
+            rng.shuffle(order)
+            crops_list, tokens_list = [], []
+            for idx in order:
+                path, caption = self.rows[idx]
+                try:
+                    img = Image.open(path).convert("RGB")
+                except Exception:
+                    continue
+                crops = self.transform(img, rng)
+                if not isinstance(crops, list):
+                    crops = [crops]
+                crops_list.append(crops)
+                meta = {"raw_caption": [caption]}
+                caps = sample_captions(
+                    meta, self.cfg.num_sampled_captions,
+                    self.cfg.caption_sampling_mode
+                    if self.cfg.caption_sampling_mode in ("raw", "random")
+                    else "random",
+                    rng,
+                )
+                tokens_list.append(self.tokenizer(caps))
+                if len(crops_list) == self.cfg.batch_size:
+                    g = self.cfg.global_crops_number if self.cfg.use_multicrop else 1
+                    n = self.cfg.local_crops_number if self.cfg.use_multicrop else 0
+                    batch = {
+                        "global_images": np.stack(
+                            [np.stack([c[v] for c in crops_list])
+                             for v in range(g)]
+                        ),
+                        "texts": np.stack(
+                            [np.stack([t[v] for t in tokens_list])
+                             for v in range(tokens_list[0].shape[0])]
+                        ),
+                    }
+                    if n:
+                        batch["local_images"] = np.stack(
+                            [np.stack([c[g + v] for c in crops_list])
+                             for v in range(n)]
+                        )
+                    yield batch
+                    crops_list, tokens_list = [], []
+
+
 class _LabeledImageLoader:
     """(images, labels) batches from a map dataset with an eval transform."""
 
@@ -165,9 +253,15 @@ def get_data(
         num_batches = args.steps_per_epoch or max(1, num_samples // global_batch)
         data["train"] = DataInfo(loader, num_samples, num_batches)
     elif dtype == "csv":
-        raise NotImplementedError(
-            "csv training: use webdataset shards or synthetic for now"
+        cfg = make_train_config(args, process_index, process_count,
+                                local_device_count)
+        loader = CsvTrainLoader(
+            cfg, args.train_data, args.csv_img_key, args.csv_caption_key,
+            args.csv_separator,
         )
+        num_samples = args.train_num_samples or len(loader)
+        num_batches = args.steps_per_epoch or max(1, num_samples // global_batch)
+        data["train"] = DataInfo(loader, num_samples, num_batches)
 
     if args.val_data:
         from cosmos_tpu.data.loader import WdsValLoader

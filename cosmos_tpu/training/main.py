@@ -223,7 +223,25 @@ def main(argv=None) -> Dict:
         accum_freq=args.accum_freq,
     )
     step_fn = make_train_step(model, optimizer, mesh, step_cfg)
-    state = create_train_state(params, optimizer)
+    if args.init_last_layer:
+        from cosmos_tpu.models.init_utils import reinit_last_transformer_layer
+
+        # teacher copies BEFORE re-init in the reference, then both get
+        # independent re-draws (main.py:278-283) — replicate by building
+        # the state from separately re-drawn student/teacher params
+        student_p = reinit_last_transformer_layer(
+            params, jax.random.PRNGKey(args.seed + 1)
+        )
+        teacher_p = reinit_last_transformer_layer(
+            params, jax.random.PRNGKey(args.seed + 2)
+        )
+        state = create_train_state(student_p, optimizer)
+        # deep-copy: student/teacher must not alias any buffer (donation)
+        state = state.replace(
+            teacher_params=jax.tree.map(jnp.copy, teacher_p)
+        )
+    else:
+        state = create_train_state(params, optimizer)
 
     # --- resume (main.py:150-188, 406-435) -------------------------------
     start_epoch = 0

@@ -134,6 +134,9 @@ def parse_args(args=None):
     add("--attentional-pool", action="store_true", default=False)
     add("--attn-pooler-heads", type=int, default=8)
     add("--add-zero-attn", action="store_true", default=False)
+    add("--init-last-layer", action="store_true", default=False,
+        help="re-draw the last transformer block's weights in both towers "
+             "(student and teacher get independent draws, main.py:281-283)")
 
     # segmentation eval (params.py:591-601)
     add("--use-csa", action="store_true", default=False)
