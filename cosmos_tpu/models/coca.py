@@ -269,3 +269,76 @@ def generate(
 
     tokens, done, _ = jax.lax.fori_loop(1, seq_len, step, (tokens0, done0, rng))
     return tokens
+
+
+def beam_search_generate(
+    model: CoCa,
+    params: Dict,
+    images: jax.Array,
+    *,
+    num_beams: int = 6,
+    seq_len: int = 30,
+    sot_token_id: int = 49406,
+    eot_token_id: int = 49407,
+    pad_token_id: int = 0,
+    min_seq_len: int = 5,
+    length_penalty: float = 1.0,
+) -> jax.Array:
+    """Fixed-shape beam search under one jit (the reference drives HF's
+    dynamic-shape group beam search, coca_model.py:241-471; here a
+    standard beam search runs as a lax.fori_loop with [B, beams, L]
+    buffers — TPU-resident, one compile)."""
+    b = images.shape[0]
+    out0 = model.apply({"params": params}, images, None)
+    image_embs = out0["image_embs"]
+    # each beam attends the same image
+    embs = jnp.repeat(image_embs, num_beams, axis=0)  # [B*K, N, D]
+
+    NEG = -1e9
+    tokens0 = jnp.full((b, num_beams, seq_len), pad_token_id, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(sot_token_id)
+    # only beam 0 live at start (identical beams would duplicate)
+    scores0 = jnp.full((b, num_beams), NEG, jnp.float32).at[:, 0].set(0.0)
+    done0 = jnp.zeros((b, num_beams), bool)
+
+    def decode_logits(tokens_flat):
+        _, token_embs = model.apply(
+            {"params": params}, tokens_flat,
+            method=lambda m, t: m._encode_text(t),
+        )
+        return model.apply(
+            {"params": params}, embs, token_embs,
+            method=lambda m, ie, te: m.text_decoder(ie, te),
+        )
+
+    def step(i, carry):
+        tokens, scores, done = carry
+        flat = tokens.reshape(b * num_beams, seq_len)
+        logits = decode_logits(flat)[:, i - 1].reshape(b, num_beams, -1)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        vocab = logp.shape[-1]
+        logp = jnp.where(i < min_seq_len,
+                         logp.at[..., eot_token_id].set(NEG), logp)
+        # finished beams only extend with pad at no cost
+        pad_only = jnp.full((vocab,), NEG).at[pad_token_id].set(0.0)
+        logp = jnp.where(done[..., None], pad_only[None, None, :], logp)
+        cand = scores[..., None] + logp                    # [B, K, V]
+        flat_cand = cand.reshape(b, num_beams * vocab)
+        top_scores, top_idx = jax.lax.top_k(flat_cand, num_beams)
+        beam_idx = top_idx // vocab                        # [B, K]
+        tok_idx = (top_idx % vocab).astype(jnp.int32)
+        tokens = jnp.take_along_axis(
+            tokens, beam_idx[..., None], axis=1
+        ).at[:, :, i].set(tok_idx)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        done = jnp.logical_or(done, tok_idx == eot_token_id)
+        return tokens, top_scores, done
+
+    tokens, scores, done = jax.lax.fori_loop(
+        1, seq_len, step, (tokens0, scores0, done0)
+    )
+    # length-penalized best beam
+    lengths = jnp.sum(tokens != pad_token_id, axis=-1).astype(jnp.float32)
+    final = scores / (lengths ** length_penalty)
+    best = jnp.argmax(final, axis=-1)
+    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]

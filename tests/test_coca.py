@@ -61,3 +61,16 @@ def test_generation(coca):
             top_k=5, top_p=0.9, rng=jax.random.PRNGKey(3),
         )
         assert t2.shape == (2, 8)
+
+
+def test_beam_search(coca):
+    from cosmos_tpu.models.coca import beam_search_generate
+
+    model, params = coca
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    toks = beam_search_generate(
+        model, params, imgs, num_beams=3, seq_len=8,
+        sot_token_id=510, eot_token_id=511, min_seq_len=2,
+    )
+    assert toks.shape == (2, 8)
+    assert (np.asarray(toks[:, 0]) == 510).all()
