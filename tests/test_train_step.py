@@ -197,3 +197,17 @@ def test_lit_locking_freezes_image_tower():
     assert np.abs(
         np.asarray(state.params["text"]["positional_embedding"]) - before_txt
     ).max() > 0
+
+
+def test_remat_step_runs():
+    """--grad-checkpointing path compiles and runs on the mesh."""
+    model, params = create_model(
+        "ViT-B-16", cosmos=True, output_all=True, attentional_pool=True,
+        add_zero_attn=True, grad_checkpointing=True, **TINY
+    )
+    mesh = create_mesh(4)
+    opt = create_optimizer(cosine_lr(1e-3, 0, 10))
+    step = make_train_step(model, opt, mesh, TrainStepConfig(cosmos=True))
+    state = create_train_state(params, opt)
+    state, m = step(state, make_batch(jax.random.PRNGKey(0), b=8))
+    assert np.isfinite(float(m["loss"]))
