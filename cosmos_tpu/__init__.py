@@ -29,6 +29,12 @@ _LAZY = {
     "TextCfg": ("cosmos_tpu.models.config", "TextCfg"),
     "list_models": ("cosmos_tpu.models.config", "list_models"),
     "get_model_config": ("cosmos_tpu.models.config", "get_model_config"),
+    "list_pretrained": ("cosmos_tpu.models.pretrained", "list_pretrained"),
+    "get_pretrained_cfg": ("cosmos_tpu.models.pretrained", "get_pretrained_cfg"),
+    "ClipLoss": ("cosmos_tpu.losses", "ClipLoss"),
+    "COSMOSLoss": ("cosmos_tpu.losses", "COSMOSLoss"),
+    "SigLipLoss": ("cosmos_tpu.losses", "SigLipLoss"),
+    "CoCaLoss": ("cosmos_tpu.losses", "CoCaLoss"),
     "SimpleTokenizer": ("cosmos_tpu.data.tokenizer", "SimpleTokenizer"),
     "tokenize": ("cosmos_tpu.data.tokenizer", "tokenize"),
     "decode": ("cosmos_tpu.data.tokenizer", "decode"),

@@ -122,11 +122,17 @@ def main(argv=None) -> Dict:
         pretrained = download_pretrained_from_hf(
             args.huggingface_repo_name, args.huggingface_model_name
         )
+    model_overrides = {}
+    if args.siglip:
+        # SigLIP init: logit scale ln(10), bias -10 (clip_segmentor.py:35-37)
+        model_overrides = {"init_logit_scale": float(np.log(10.0)),
+                           "init_logit_bias": -10.0}
     model, params = create_model(
         args.model,
         pretrained=pretrained or None,
         precision=args.precision,
         cosmos=args.cosmos,
+        **model_overrides,
         output_all=args.output_all,
         attentional_pool=args.attentional_pool,
         add_zero_attn=args.add_zero_attn,
@@ -211,6 +217,7 @@ def main(argv=None) -> Dict:
 
     step_cfg = TrainStepConfig(
         cosmos=args.cosmos,
+        siglip=args.siglip,
         local_loss=args.local_loss,
         gather_with_grad=args.gather_with_grad,
         momentum_schedule=momentum_schedule,

@@ -33,7 +33,7 @@ from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from cosmos_tpu.losses import ClipLoss, COSMOSLoss
+from cosmos_tpu.losses import ClipLoss, COSMOSLoss, SigLipLoss
 from cosmos_tpu.parallel.mesh import DATA_AXIS
 
 LN100 = 4.605170185988092  # ln(100), train.py:237
@@ -137,6 +137,7 @@ def _views(x: jax.Array, v: int) -> jax.Array:
 @dataclasses.dataclass
 class TrainStepConfig:
     cosmos: bool = True
+    siglip: bool = False
     local_loss: bool = False
     gather_with_grad: bool = True
     momentum_schedule: Optional[Callable] = None   # step -> momentum
@@ -173,6 +174,9 @@ def make_train_step(
             gather_with_grad=cfg.gather_with_grad,
             axis_name=DATA_AXIS,
         )
+    elif cfg.siglip:
+        # pairwise sigmoid loss with the ppermute negatives ring
+        loss_obj = SigLipLoss(axis_name=DATA_AXIS)
     else:
         loss_obj = ClipLoss(
             local_loss=cfg.local_loss,
@@ -224,6 +228,15 @@ def make_train_step(
                 s_txt_crossmodal_features=_views(
                     s_out["txt_crossmodal_features"], k
                 ),
+                output_dict=True,
+            )
+        elif cfg.siglip:
+            s_out = model.apply({"params": params}, g_flat, t_flat, l_flat)
+            losses = loss_obj(
+                _views(s_out["image_features"], vg + vl)[0],
+                _views(s_out["text_features"], k)[0],
+                s_out["logit_scale"],
+                s_out.get("logit_bias"),
                 output_dict=True,
             )
         else:

@@ -211,3 +211,16 @@ def test_remat_step_runs():
     state = create_train_state(params, opt)
     state, m = step(state, make_batch(jax.random.PRNGKey(0), b=8))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_siglip_mode_step():
+    model, params = create_model(
+        "ViT-B-16", init_logit_bias=-10.0, **TINY
+    )
+    mesh = create_mesh(4)
+    opt = create_optimizer(cosine_lr(1e-3, 0, 10))
+    step = make_train_step(model, opt, mesh,
+                           TrainStepConfig(cosmos=False, siglip=True))
+    state = create_train_state(params, opt)
+    state, m = step(state, make_batch(jax.random.PRNGKey(0), b=8, k=1))
+    assert np.isfinite(float(m["loss"]))
