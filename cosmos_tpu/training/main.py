@@ -303,6 +303,13 @@ def main(argv=None) -> Dict:
             logger.warning(f"wandb unavailable: {e}")
 
     # --- epoch loop (main.py:540-584) ------------------------------------
+    if args.profile_steps > 0:
+        import jax.profiler as _prof
+
+        profile_dir = os.path.join(log_dir, "profile")
+        logger.info(f"profiling first {args.profile_steps} steps -> {profile_dir}")
+        _prof.start_trace(profile_dir)
+
     loader_iter = iter(train_info.dataloader)
     global_batch = args.batch_size * local_device_count * process_count
     all_metrics: Dict[str, float] = {}
@@ -315,6 +322,11 @@ def main(argv=None) -> Dict:
             global_batch=global_batch, shard_batch_fn=shard_batch,
         )
         all_metrics.update(epoch_metrics)
+        if args.profile_steps > 0 and epoch == start_epoch:
+            import jax.profiler as _prof
+
+            _prof.stop_trace()
+            args.profile_steps = 0
 
         completed = epoch + 1
         if (
@@ -367,7 +379,18 @@ def train_one_epoch(
     metrics = {}
     data_time = step_time = 0.0
     t_end = time.perf_counter()
+    profile_remaining = getattr(args, "profile_steps", 0)
     for i in range(steps_per_epoch):
+        if profile_remaining and i == profile_remaining:
+            import jax.profiler as _prof
+
+            float(metrics.get("loss", 0.0))  # flush before stopping
+            try:
+                _prof.stop_trace()
+            except RuntimeError:
+                pass
+            args.profile_steps = 0
+            profile_remaining = 0
         if args.accum_freq > 1:
             micro = [next(loader_iter) for _ in range(args.accum_freq)]
             batch = {

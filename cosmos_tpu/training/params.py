@@ -170,6 +170,10 @@ def parse_args(args=None):
         help="comma list: tensorboard,wandb")
     add("--wandb-project-name", type=str, default="cosmos-tpu")
     add("--debug", action="store_true", default=False)
+    add("--profile-steps", type=int, default=0,
+        help="capture a jax.profiler trace of the first N train steps "
+             "into <logs>/<name>/profile (SURVEY §5: the TPU-native "
+             "replacement for the reference's missing kineto traces)")
 
     # TPU / mesh
     add("--mesh-shape", type=str, default=None,

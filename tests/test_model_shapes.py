@@ -118,3 +118,27 @@ def test_csa_forward_runs():
         {"params": params}, imgs, False, True, method=model.encode_image
     )
     assert out["image_tokens"].shape == (2, 16, 64)
+
+
+def test_create_model_and_transforms_surface():
+    """The open_clip-style bundled factory: model + train/val transforms."""
+    from PIL import Image
+
+    from cosmos_tpu.models.factory import create_model_and_transforms
+
+    model, params, train_tf, val_tf = create_model_and_transforms(
+        "ViT-Tiny-Test", use_imagecrop_aug=True, local_crops_number=2,
+        crop_scale=0.4,
+    )
+    img = Image.fromarray(
+        np.zeros((64, 80, 3), dtype=np.uint8)
+    )
+    crops = train_tf(img)
+    assert len(crops) == 4  # 2 global + 2 local
+    assert crops[0].shape == (32, 32, 3)
+    out = val_tf(img)
+    assert out.shape == (32, 32, 3)
+
+    # plain (non-multicrop) train transform branch
+    _, _, plain_tf, _ = create_model_and_transforms("ViT-Tiny-Test")
+    assert plain_tf(img).shape == (32, 32, 3)
