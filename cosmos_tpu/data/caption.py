@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import random as _random
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

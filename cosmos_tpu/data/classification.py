@@ -24,10 +24,9 @@ assets/classification_banks.json (the reference's label.json ordering).
 from __future__ import annotations
 
 import logging
-import os
 import pickle
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Tuple, Union
+from typing import Callable, List, Optional, Tuple, Union
 
 import numpy as np
 

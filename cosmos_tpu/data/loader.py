@@ -25,7 +25,7 @@ import multiprocessing as mp
 import queue as queue_mod
 import random
 import threading
-from typing import Any, Callable, Dict, Iterator, List, Optional
+from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
 

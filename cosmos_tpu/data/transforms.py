@@ -187,23 +187,36 @@ class MulticropAugmentation:
 
 @dataclass
 class EvalTransform:
-    """Bicubic shortest-side resize + center crop + normalize."""
+    """Eval preprocessing (reference transform.py:368-399 resize modes):
+    'shortest' — bicubic shortest-side resize + center crop (default);
+    'longest'  — longest-side resize + center pad to square;
+    'squash'   — direct resize to (size, size)."""
 
     image_size: int = 224
     mean: Sequence[float] = OPENAI_DATASET_MEAN
     std: Sequence[float] = OPENAI_DATASET_STD
+    resize_mode: str = "shortest"
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = _to_rgb(img)
         w, h = img.size
-        s = self.image_size / min(w, h)
-        nw, nh = round(w * s), round(h * s)
-        img = img.resize((nw, nh), BICUBIC)
-        left = (nw - self.image_size) // 2
-        top = (nh - self.image_size) // 2
-        img = img.crop(
-            (left, top, left + self.image_size, top + self.image_size)
-        )
+        size = self.image_size
+        if self.resize_mode == "squash":
+            img = img.resize((size, size), BICUBIC)
+        elif self.resize_mode == "longest":
+            s = size / max(w, h)
+            nw, nh = round(w * s), round(h * s)
+            img = img.resize((nw, nh), BICUBIC)
+            canvas = Image.new("RGB", (size, size))
+            canvas.paste(img, ((size - nw) // 2, (size - nh) // 2))
+            img = canvas
+        else:  # shortest
+            s = size / min(w, h)
+            nw, nh = round(w * s), round(h * s)
+            img = img.resize((nw, nh), BICUBIC)
+            left = (nw - size) // 2
+            top = (nh - size) // 2
+            img = img.crop((left, top, left + size, top + size))
         return normalize_to_array(img, self.mean, self.std)
 
 

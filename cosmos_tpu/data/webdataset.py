@@ -23,9 +23,7 @@ import logging
 import random
 import re
 import tarfile
-from dataclasses import dataclass, field
-from pathlib import Path
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence
 
 logger = logging.getLogger(__name__)
 

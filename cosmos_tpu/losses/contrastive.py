@@ -27,7 +27,7 @@ materializes its [B_local, B_global] logit rows with rank-offset labels
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ train loop (train.py:173-184).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional
 
 import jax

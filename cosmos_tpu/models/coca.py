@@ -15,8 +15,7 @@ top-p with a PRNG key) — static shapes, one compile, TPU-resident.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,16 +15,14 @@ params pytree, which is what the jitted train/eval steps consume.
 from __future__ import annotations
 
 import dataclasses
-import json
 import logging
-from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from .clip import CLIP
-from .config import CLIPCfg, build_clip_cfg, get_model_config, list_models
+from .config import build_clip_cfg, get_model_config
 
 logger = logging.getLogger(__name__)
 

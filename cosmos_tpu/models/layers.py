@@ -16,7 +16,7 @@ and it matches the reference's mixed-precision semantics exactly.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

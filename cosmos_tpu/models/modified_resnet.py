@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import l2_normalize
 
 Dtype = Any
 

@@ -19,7 +19,6 @@ Input layout is NHWC (TPU-native), unlike the reference's NCHW.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -28,7 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from .attention import AttentionalCrossPooler
-from .layers import LayerNorm, gelu, l2_normalize, patch_dropout
+from .layers import LayerNorm, gelu, patch_dropout
 from .transformer import Transformer
 
 Dtype = Any

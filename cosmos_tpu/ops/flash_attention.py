@@ -17,7 +17,7 @@ masked with -inf so results are exact for any length.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

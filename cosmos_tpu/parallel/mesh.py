@@ -14,7 +14,6 @@ the local-loss form keeps per-device logit rows [B_local, B_global].
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import os
 from typing import Optional, Sequence, Tuple

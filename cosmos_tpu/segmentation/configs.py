@@ -10,7 +10,7 @@ coco_object; without -> voc20/cityscapes/context59/ade20k/coco_stuff.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 

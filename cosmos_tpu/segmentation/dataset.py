@@ -10,14 +10,13 @@ and label PNGs with optional reduce_zero_label.
 from __future__ import annotations
 
 import logging
-import os
 from pathlib import Path
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from cosmos_tpu.segmentation.configs import SegBenchmark
-from cosmos_tpu.segmentation.metrics import IGNORE_INDEX, reduce_zero_label
+from cosmos_tpu.segmentation.metrics import reduce_zero_label
 
 logger = logging.getLogger(__name__)
 

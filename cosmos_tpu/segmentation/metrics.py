@@ -9,7 +9,7 @@ matching mmseg BaseSegDataset semantics used by the reference benchmarks.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -23,7 +23,6 @@ compiled executable serves every benchmark image.
 
 from __future__ import annotations
 
-import functools
 import json
 import logging
 from pathlib import Path
@@ -33,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cosmos_tpu.segmentation.pamr import pamr, resize_bilinear_align_corners
+from cosmos_tpu.segmentation.pamr import pamr
 
 logger = logging.getLogger(__name__)
 

@@ -26,7 +26,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 logger = logging.getLogger(__name__)
 

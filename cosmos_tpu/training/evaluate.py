@@ -14,7 +14,7 @@ import functools
 import json
 import logging
 import os
-from typing import Callable, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -23,11 +23,7 @@ import numpy as np
 from cosmos_tpu.data.datasets import RetrievalData
 from cosmos_tpu.data.loader import MapDatasetLoader
 from cosmos_tpu.data.transforms import EvalTransform
-from cosmos_tpu.training.retrieval import (
-    encode_in_batches,
-    evaluate_retrieval,
-    get_clip_metrics,
-)
+from cosmos_tpu.training.retrieval import evaluate_retrieval, get_clip_metrics
 from cosmos_tpu.training.zero_shot import (
     zero_shot_classification_eval,
     zero_shot_eval,

@@ -11,10 +11,8 @@ from __future__ import annotations
 
 import logging
 import multiprocessing as mp
-import os
 import subprocess
 import time
-from typing import Optional
 
 logger = logging.getLogger(__name__)
 

@@ -20,9 +20,8 @@ import datetime
 import json
 import logging
 import os
-import sys
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -163,8 +162,6 @@ def main(argv=None) -> Dict:
 
     # --- eval-only modes (main.py:518-534) -------------------------------
     if "train" not in data or args.eval_mode:
-        from cosmos_tpu.training.train import create_train_state as _cts
-
         class _EvalState:
             def __init__(self, p):
                 self.params = p

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import json
-from typing import Optional
 
 
 def get_default_params(model_name: str):

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import csv
-import io
 import logging
 import sys
 from typing import Dict, Optional

@@ -14,9 +14,8 @@ here ranks come from one argsort-of-argsort per direction.
 from __future__ import annotations
 
 import logging
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -17,7 +17,7 @@ import json
 import logging
 import sys
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 logger = logging.getLogger(__name__)
 

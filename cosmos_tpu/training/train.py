@@ -23,7 +23,6 @@ host-side Python statements happens fused on device:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
