@@ -71,7 +71,26 @@ def save_checkpoint(
 
 def get_latest_checkpoint(checkpoint_path: str) -> Optional[str]:
     """Newest epoch_N dir, preferring the atomic latest pointer
-    (main.py:57-72 get_latest_checkpoint equivalent)."""
+    (main.py:57-72 get_latest_checkpoint equivalent).  Remote paths
+    (s3://, gs://) are listed via fsspec like the reference's S3 resume
+    discovery (main.py:150-188)."""
+    if str(checkpoint_path).startswith(("s3://", "gs://")):
+        import fsspec
+
+        fs, _, paths = fsspec.get_fs_token_paths(checkpoint_path)
+        epochs = []
+        try:
+            for p in fs.ls(paths[0], detail=False):
+                m = re.search(r"epoch_(\d+)/?$", p)
+                if m:
+                    epochs.append((int(m.group(1)), p))
+        except FileNotFoundError:
+            return None
+        if not epochs:
+            return None
+        best = max(epochs)[1]
+        proto = str(checkpoint_path).split("://")[0]
+        return f"{proto}://{best}" if "://" not in best else best
     base = Path(checkpoint_path)
     pointer = base / LATEST_NAME
     if pointer.exists():
