@@ -150,3 +150,33 @@ def test_postprocess_synonym_merge_and_thresholds():
     seg.prob_thd = 1.01  # prob can never exceed 1
     pred2 = seg.postprocess(logits)
     assert (pred2 == 0).all()
+
+
+def test_slide_equals_single_window():
+    """One 32x32 image with crop 32: the sliding path must equal a direct
+    forward_feature pass (count_mat == 1 everywhere)."""
+    from cosmos_tpu.models.factory import create_model, get_tokenizer
+    from cosmos_tpu.segmentation.segmentor import resize_bilinear
+
+    import jax.numpy as jnp
+
+    model, params = create_model(
+        "ViT-Tiny-Test", cosmos=True, output_all=True,
+        attentional_pool=True, add_zero_attn=True,
+    )
+    tok = get_tokenizer("ViT-Tiny-Test")
+    seg = CLIPSegmentor(
+        model, params, tok, ["cat", "dog"], slide_crop=32, slide_stride=16,
+    )
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    slid = seg.forward_slide(img)
+    direct = np.asarray(
+        resize_bilinear(
+            seg._forward_feature(
+                jnp.asarray(seg._normalize(img)[None])
+            ),
+            (32, 32),
+        )
+    )[0]
+    np.testing.assert_allclose(slid, direct, atol=1e-5)
