@@ -132,9 +132,14 @@ class ImageFolderDataset:
     ):
         self.root = root
         self.transform = transform
-        classes = sorted(
-            d.name for d in os.scandir(root) if d.is_dir()
-        )
+        classes = [d.name for d in os.scandir(root) if d.is_dir()]
+        if classes and all(c.isdigit() for c in classes):
+            # ImageNetV2-style layout: class dirs are integer labels
+            # ("0".."999"); numeric order, not lexical, matches the labels
+            # (imagenetv2_pytorch assigns label = int(dirname))
+            classes.sort(key=int)
+        else:
+            classes.sort()
         self.class_to_idx = {c: i for i, c in enumerate(classes)}
         self.samples: List[Tuple[str, int]] = []
         for c in classes:

@@ -65,6 +65,9 @@ class WdsTrainConfig:
     process_count: int = 1
     resampled: bool = False
     use_multicrop: bool = True
+    # --aug-cfg kwargs (scale/ratio/color_jitter[_prob]/gray_scale_prob)
+    # for the non-multicrop train transform (reference transform.py:245-274)
+    aug_cfg: Optional[dict] = None
     # native C++ tar streaming + DCT-scaled JPEG decode (native/tario.cpp);
     # falls back to the pure-Python path when the library isn't built
     use_native_io: bool = True
@@ -94,7 +97,11 @@ def _worker_loop(cfg: WdsTrainConfig, worker_index: int, epoch0: int,
             as_uint8=True,
         )
     else:
-        transform = TrainTransform(image_size=cfg.image_size, as_uint8=True)
+        from cosmos_tpu.data.transforms import image_transform_train
+
+        transform = image_transform_train(
+            cfg.image_size, aug_cfg=cfg.aug_cfg, as_uint8=True
+        )
 
     shards = ShardedShardList(
         cfg.urls,

@@ -223,29 +223,70 @@ class EvalTransform:
 @dataclass
 class TrainTransform:
     """Plain single-crop train transform (RandomResizedCrop 0.9-1.0) for
-    non-multicrop runs (transform.py:340-366 default branch)."""
+    non-multicrop runs (transform.py:340-366 default branch), with the
+    --aug-cfg probability knobs (color_jitter_prob / gray_scale_prob
+    wrappers, transform.py:245-274)."""
 
     image_size: int = 224
     mean: Sequence[float] = OPENAI_DATASET_MEAN
     std: Sequence[float] = OPENAI_DATASET_STD
     scale: Tuple[float, float] = (0.9, 1.0)
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)
+    color_jitter: Optional[Sequence[float]] = None   # (b, c, s[, h])
+    color_jitter_prob: Optional[float] = None
+    gray_scale_prob: Optional[float] = None
     as_uint8: bool = False
 
     def __call__(
         self, img: Image.Image, rng: Optional[_random.Random] = None
     ) -> np.ndarray:
         rng = rng or _random
-        img = random_resized_crop(_to_rgb(img), self.image_size, self.scale, rng)
+        img = random_resized_crop(
+            _to_rgb(img), self.image_size, self.scale, rng, ratio=self.ratio
+        )
+        if self.color_jitter_prob and rng.random() < self.color_jitter_prob:
+            cj = self.color_jitter or (0.4, 0.4, 0.2, 0.1)
+            if not isinstance(cj, (tuple, list)):
+                cj = (cj, cj, cj, 0.0)
+            cj = tuple(cj) + (0.0,) * (4 - len(cj))
+            img = color_jitter(img, rng, *cj)
+        if self.gray_scale_prob and rng.random() < self.gray_scale_prob:
+            img = img.convert("L").convert("RGB")
         return _finalize(img, self.mean, self.std, self.as_uint8)
 
 
-def image_transform_train(image_size: int, mean=None, std=None, aug_cfg=None):
-    aug_cfg = aug_cfg or {}
+def _parse_pair(v, default):
+    if v is None:
+        return default
+    if isinstance(v, str):
+        v = [float(x) for x in v.replace(",", " ").split()]
+    if isinstance(v, (int, float)):
+        return (float(v), float(v))
+    return tuple(float(x) for x in v)
+
+
+def image_transform_train(image_size: int, mean=None, std=None, aug_cfg=None,
+                          as_uint8: bool = False):
+    aug_cfg = dict(aug_cfg or {})
+    cj = aug_cfg.get("color_jitter")
+    if isinstance(cj, str):
+        cj = [float(x) for x in cj.replace(",", " ").split()]
     return TrainTransform(
         image_size=image_size,
         mean=mean or OPENAI_DATASET_MEAN,
         std=std or OPENAI_DATASET_STD,
-        scale=tuple(aug_cfg.get("scale", (0.9, 1.0))),
+        scale=_parse_pair(aug_cfg.get("scale"), (0.9, 1.0)),
+        ratio=_parse_pair(aug_cfg.get("ratio"), (3.0 / 4.0, 4.0 / 3.0)),
+        color_jitter=cj,
+        color_jitter_prob=(
+            float(aug_cfg["color_jitter_prob"])
+            if aug_cfg.get("color_jitter_prob") is not None else None
+        ),
+        gray_scale_prob=(
+            float(aug_cfg["gray_scale_prob"])
+            if aug_cfg.get("gray_scale_prob") is not None else None
+        ),
+        as_uint8=as_uint8,
     )
 
 

@@ -99,9 +99,14 @@ def tar_to_samples(path: str) -> Iterator[Dict[str, bytes]]:
                 if not member.isfile():
                     continue
                 name = member.name
-                if "." not in name:
+                # split on the first dot of the BASENAME (webdataset's
+                # base_plus_ext): a dotted directory like 'v1.2/0001.jpg'
+                # must not break key grouping
+                dirname, _, base = name.rpartition("/")
+                if "." not in base:
                     continue
-                key, ext = name.split(".", 1)
+                stem, ext = base.split(".", 1)
+                key = f"{dirname}/{stem}" if dirname else stem
                 ext = ext.lower()
                 try:
                     data = tf.extractfile(member).read()

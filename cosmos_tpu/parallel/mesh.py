@@ -82,12 +82,26 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
 
 
 def shard_batch(batch: dict, mesh: Mesh, batch_axis: int = 1) -> dict:
-    """Place a host batch dict ([V, B, ...] arrays) onto the mesh with the
-    batch axis sharded over 'data'."""
+    """Place a host batch dict ([V, B_local, ...] arrays) onto the mesh with
+    the batch axis sharded over 'data'.
+
+    Single-process: a plain device_put with the sharded layout. Multi-host:
+    each process contributes its LOCAL batch as one slice of the global
+    array via jax.make_array_from_process_local_data — the global batch is
+    B_local * process_count (a device_put of local data against the global
+    mesh would silently treat one host's batch as the whole global batch
+    and drop the remote rows)."""
+    multiprocess = jax.process_count() > 1
+
     def _put(x):
         spec = [None] * x.ndim
         if x.ndim > batch_axis:
             spec[batch_axis] = DATA_AXIS
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        sharding = NamedSharding(mesh, P(*spec))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(_put, batch)

@@ -108,10 +108,11 @@ class CsvTrainLoader:
                 as_uint8=True,
             )
         else:
-            from cosmos_tpu.data.transforms import TrainTransform
+            from cosmos_tpu.data.transforms import image_transform_train
 
-            self.transform = TrainTransform(image_size=cfg.image_size,
-                                            as_uint8=True)
+            self.transform = image_transform_train(
+                cfg.image_size, aug_cfg=cfg.aug_cfg, as_uint8=True
+            )
         self._epoch = 0
 
     def __len__(self):
@@ -217,6 +218,7 @@ def make_train_config(args, process_index: int = 0, process_count: int = 1,
         process_count=process_count,
         resampled=args.dataset_resampled,
         use_multicrop=args.use_imagecrop_aug,
+        aug_cfg=getattr(args, "aug_cfg", None) or None,
     )
 
 
@@ -293,6 +295,12 @@ def get_data(
     if args.imagenet_val:
         ds = ImageFolderDataset(args.imagenet_val, transform=eval_tf)
         data["imagenet-val"] = _LabeledImageLoader(ds, args.batch_size)
+
+    if args.imagenet_v2:
+        # ImageNetV2 (reference data.py:144-146): folder of integer class
+        # dirs 0..999; numeric dir ordering in ImageFolderDataset matches
+        ds = ImageFolderDataset(args.imagenet_v2, transform=eval_tf)
+        data["imagenet-v2"] = _LabeledImageLoader(ds, args.batch_size)
 
     if args.classification_data_dir and args.zeroshot_eval_datasets:
         from cosmos_tpu.data.classification import ClassificationDataset

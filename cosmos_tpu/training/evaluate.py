@@ -49,47 +49,79 @@ class RetrievalImageDataset:
         return self.transform(img), self.data.image_ids[idx]
 
 
+# jitted encoder triplets are cached per (model, mesh) so an in-training
+# eval every --val-frequency epochs reuses the compiled executables instead
+# of paying a fresh TPU compile each time (params flow in as an argument)
+_ENCODER_CACHE: dict = {}
+
+
 def make_encoders(model, params, mesh=None):
     """Jitted normalized encoders over fixed batch shapes.
 
-    With a mesh, eval batches shard over the data axis — ALL devices
+    With a mesh, eval batches shard over the data axis — ALL local devices
     evaluate (the reference gates eval to rank 0, train.py:327-328;
     SURVEY.md §2.3 notes full-mesh eval as the TPU-native upgrade).
+    In a multi-host run the caller must pass a HOST-LOCAL mesh (see
+    main.py): jitting over the global mesh from the master process alone
+    would deadlock the other processes.
     """
-    kwargs = {}
-    if mesh is not None and mesh.devices.size > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+    cache_key = (id(model), id(mesh))
+    if cache_key not in _ENCODER_CACHE:
+        kwargs = {}
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from cosmos_tpu.parallel.mesh import DATA_AXIS
+            from cosmos_tpu.parallel.mesh import DATA_AXIS
 
-        kwargs = dict(
-            in_shardings=(
-                NamedSharding(mesh, P()),
-                NamedSharding(mesh, P(DATA_AXIS)),
-            ),
-            out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
-        )
+            kwargs = dict(
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P(DATA_AXIS)),
+                ),
+                out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+            )
 
-    @functools.partial(jax.jit, **kwargs)
-    def enc_image(p, images):
-        out = model.apply({"params": p}, images, True, method=model.encode_image)
-        return out["image_features"]
+        @functools.partial(jax.jit, **kwargs)
+        def enc_image(p, images):
+            out = model.apply({"params": p}, images, True,
+                              method=model.encode_image)
+            return out["image_features"]
 
-    @functools.partial(jax.jit, **kwargs)
-    def enc_text_norm(p, tokens):
-        out = model.apply({"params": p}, tokens, True, method=model.encode_text)
-        return out["text_features"]
+        @functools.partial(jax.jit, **kwargs)
+        def enc_text_norm(p, tokens):
+            out = model.apply({"params": p}, tokens, True,
+                              method=model.encode_text)
+            return out["text_features"]
 
-    @functools.partial(jax.jit, **kwargs)
-    def enc_text_raw(p, tokens):
-        out = model.apply({"params": p}, tokens, False, method=model.encode_text)
-        return out["text_features"]
+        @functools.partial(jax.jit, **kwargs)
+        def enc_text_raw(p, tokens):
+            out = model.apply({"params": p}, tokens, False,
+                              method=model.encode_text)
+            return out["text_features"]
 
+        _ENCODER_CACHE[cache_key] = (enc_image, enc_text_norm, enc_text_raw)
+
+    enc_image, enc_text_norm, enc_text_raw = _ENCODER_CACHE[cache_key]
     return (
         functools.partial(enc_image, params),
         functools.partial(enc_text_norm, params),
         functools.partial(enc_text_raw, params),
     )
+
+
+def host_local_params(params):
+    """Pull a (replicated) global-mesh param pytree onto this host as plain
+    arrays, so the master process can run eval on a host-local mesh without
+    a cross-process collective (multi-host rank-0 eval path)."""
+    if jax.process_count() == 1:
+        return params
+
+    def _local(x):
+        if hasattr(x, "addressable_data"):
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+
+    return jax.tree.map(_local, params)
 
 
 def evaluate_model(
@@ -102,6 +134,7 @@ def evaluate_model(
     batch_size: int = 256,
     image_size: int = 224,
     mesh=None,
+    zero_shot: bool = True,
 ) -> Dict[str, float]:
     """Run every eval the data dict carries for one set of weights."""
     enc_image, enc_text_norm, enc_text_raw = make_encoders(model, params, mesh)
@@ -124,6 +157,9 @@ def evaluate_model(
             metrics.update(m)
             logger.info(f"{name} [{prefix or 'student'}]: "
                         + json.dumps({k: round(v, 4) for k, v in m.items()}))
+
+    if not zero_shot:
+        return metrics
 
     if "imagenet-val" in data or "imagenet-v2" in data:
         m = zero_shot_eval(
@@ -163,21 +199,29 @@ def evaluate(
 ) -> Dict[str, float]:
     """Student + EMA-teacher evaluation (train.py:325-424 surface)."""
     metrics: Dict[str, float] = {"epoch": epoch}
+    # zero-shot classification runs at its own cadence (--zeroshot-frequency,
+    # reference zero_shot.py:48-51), retrieval/val-loss at --val-frequency
+    zs_freq = getattr(args, "zeroshot_frequency", 1)
+    epochs = getattr(args, "epochs", epoch)
+    zero_shot = bool(zs_freq) and (epoch % zs_freq == 0 or epoch == epochs)
+    student_params = host_local_params(state.params)
     if "val" in data:
         metrics.update(
-            evaluate_on_split(model, state.params, data["val"], epoch=epoch)
+            evaluate_on_split(model, student_params, data["val"], epoch=epoch)
         )
     metrics.update(
         evaluate_model(
-            model, state.params, tokenizer, data,
+            model, student_params, tokenizer, data,
             prefix="", batch_size=args.batch_size, mesh=mesh,
+            zero_shot=zero_shot,
         )
     )
     if getattr(args, "eval_teacher", True) and state.teacher_params is not None:
         metrics.update(
             evaluate_model(
-                model, state.teacher_params, tokenizer, data,
-                prefix="ema_", batch_size=args.batch_size, mesh=mesh,
+                model, host_local_params(state.teacher_params), tokenizer,
+                data, prefix="ema_", batch_size=args.batch_size, mesh=mesh,
+                zero_shot=zero_shot,
             )
         )
     if getattr(args, "checkpoint_path", None):

@@ -309,6 +309,13 @@ def main(argv=None) -> Dict:
 
     loader_iter = iter(train_info.dataloader)
     global_batch = args.batch_size * local_device_count * process_count
+    # eval runs on the master process only (reference rank-0 gating,
+    # train.py:327-328); in a multi-host run it must jit over a HOST-LOCAL
+    # mesh — a global-mesh jit entered by one process would deadlock the
+    # rest.  evaluate() pulls the replicated params host-local first.
+    eval_mesh = (
+        mesh if process_count == 1 else create_mesh(devices=jax.local_devices())
+    )
     all_metrics: Dict[str, float] = {}
     for epoch in range(start_epoch, args.epochs):
         logger.info(f"epoch {epoch} start")
@@ -332,7 +339,7 @@ def main(argv=None) -> Dict:
             and is_master
         ):
             eval_metrics = evaluate(model, state, tokenizer, data, completed, args,
-                                    mesh=mesh)
+                                    mesh=eval_mesh)
             all_metrics.update(eval_metrics)
             if writer is not None:
                 for k, v in eval_metrics.items():
@@ -346,7 +353,7 @@ def main(argv=None) -> Dict:
                 completed,
                 name=args.name,
                 config={k: str(v) for k, v in vars(args).items()},
-                save_latest=args.save_most_recent or True,
+                save_latest=args.save_most_recent,
                 delete_previous=args.delete_previous_checkpoint,
             )
 

@@ -188,4 +188,16 @@ def parse_args(args=None):
     for name, val in defaults.items():
         if getattr(ns, name) is None:
             setattr(ns, name, val)
+
+    # COSMOS distillation pairs the teacher against 2 caption views;
+    # raw-mode sampling yields a single caption, which would silently
+    # corrupt the distill loss (the reference asserts 2 views, loss.py:189)
+    if ns.cosmos and ns.caption_sampling_mode in ("raw", "raw_pixelprose"):
+        parser.error(
+            "--cosmos requires >=2 caption views: use "
+            "--caption-sampling-mode textcrop/random (+ --num-sampled-captions >= 2), "
+            f"not {ns.caption_sampling_mode!r}"
+        )
+    if ns.cosmos and ns.num_sampled_captions < 2:
+        parser.error("--cosmos requires --num-sampled-captions >= 2")
     return ns

@@ -116,7 +116,8 @@ def run_classification_eval(
         a1, a5 = accuracy(np.asarray(logits), np.asarray(target), topk=(1, 5))
         top1 += a1
         top5 += a5
-        n += images.shape[0]
+        n += real  # count REAL rows, not the padded batch (reference divides
+        # by the true sample count, zero_shot.py:40-41)
     return top1 / n, top5 / n
 
 

@@ -179,3 +179,35 @@ def test_loader_end_to_end(tmp_path):
     assert batch["local_images"].shape == (2, 4, 16, 16, 3)
     assert batch["texts"].shape == (4, 4, 16)
     assert batch["texts"].dtype == np.int32
+
+
+def test_aug_cfg_knobs_plumb_through():
+    """--aug-cfg color_jitter_prob/gray_scale_prob reach the train
+    transform (reference transform.py:245-274 wrappers)."""
+    import random
+
+    from PIL import Image as PILImage
+
+    from cosmos_tpu.data.transforms import image_transform_train
+
+    tf = image_transform_train(
+        32,
+        aug_cfg={"scale": (0.5, 1.0), "color_jitter": "0.4 0.4 0.2 0.1",
+                 "color_jitter_prob": 1.0, "gray_scale_prob": 1.0},
+    )
+    assert tf.scale == (0.5, 1.0)
+    assert tf.color_jitter_prob == 1.0
+    img = PILImage.fromarray(
+        (np.random.default_rng(0).integers(0, 255, (48, 48, 3)))
+        .astype(np.uint8)
+    )
+    out = tf(img, random.Random(0))
+    assert out.shape == (32, 32, 3)
+    # gray_scale_prob=1.0 forces grayscale: channels equal pre-normalize
+    tf_u8 = image_transform_train(
+        32, aug_cfg={"gray_scale_prob": 1.0}, as_uint8=True
+    )
+    u8 = tf_u8(img, random.Random(0))
+    assert u8.dtype == np.uint8
+    assert np.array_equal(u8[..., 0], u8[..., 1])
+    assert np.array_equal(u8[..., 1], u8[..., 2])
