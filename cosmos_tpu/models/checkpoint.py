@@ -68,27 +68,87 @@ def _cross_pool_entries(prefix_t: str, prefix_f: Tuple[str, ...]):
     ]
 
 
+def _bn_entries(tkey: str, fpath: Tuple[str, ...]):
+    """torch BatchNorm2d -> FrozenBatchNorm params."""
+    return [
+        (f"{tkey}.weight", fpath + ("scale",), None),
+        (f"{tkey}.bias", fpath + ("bias",), None),
+        (f"{tkey}.running_mean", fpath + ("mean",), None),
+        (f"{tkey}.running_var", fpath + ("var",), None),
+    ]
+
+
+def build_resnet_vision_map(visual_params: Dict):
+    """Name map for a ModifiedResNet visual tower (OpenAI RN checkpoints,
+    reference modified_resnet.py:110-181 layout). Stage/block structure and
+    downsample presence are derived from the target param tree."""
+    entries = []
+    for i in (1, 2, 3):
+        entries.append(
+            (f"visual.conv{i}.weight", ("visual", f"conv{i}", "kernel"), "conv")
+        )
+        entries += _bn_entries(f"visual.bn{i}", ("visual", f"bn{i}"))
+    blocks = sorted(
+        (k for k in visual_params if re.fullmatch(r"layer\d+_\d+", k)),
+        key=lambda s: tuple(map(int, re.findall(r"\d+", s))),
+    )
+    for name in blocks:
+        stage, blk = map(int, re.findall(r"\d+", name))
+        t = f"visual.layer{stage}.{blk}"
+        f = ("visual", name)
+        for j in (1, 2, 3):
+            entries.append(
+                (f"{t}.conv{j}.weight", f + (f"conv{j}", "kernel"), "conv")
+            )
+            entries += _bn_entries(f"{t}.bn{j}", f + (f"bn{j}",))
+        if "downsample_conv" in visual_params[name]:
+            # torch Sequential(OrderedDict('-1' pool, '0' conv, '1' bn))
+            entries.append(
+                (f"{t}.downsample.0.weight",
+                 f + ("downsample_conv", "kernel"), "conv")
+            )
+            entries += _bn_entries(f"{t}.downsample.1", f + ("downsample_bn",))
+    ap = ("visual", "attnpool")
+    entries.append(
+        ("visual.attnpool.positional_embedding",
+         ap + ("positional_embedding",), None)
+    )
+    for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        entries.append((f"visual.attnpool.{p}.weight", ap + (p, "kernel"), "t"))
+        entries.append((f"visual.attnpool.{p}.bias", ap + (p, "bias"), None))
+    return entries
+
+
 def build_name_map(vision_layers: int, text_layers: int,
-                   has_cosmos_heads: bool, has_poolers: bool):
+                   has_cosmos_heads: bool, has_poolers: bool,
+                   resnet_visual: Optional[Dict] = None):
     """List of (torch_key, flax_path, transform) for the CLIP layout."""
     entries = [
         ("logit_scale", ("logit_scale",), None),
-        ("visual.conv1.weight", ("visual", "conv1_kernel"), "conv"),
-        ("visual.class_embedding", ("visual", "class_embedding"), None),
-        ("visual.positional_embedding", ("visual", "positional_embedding"), None),
-        ("visual.ln_pre.weight", ("visual", "ln_pre", "scale"), None),
-        ("visual.ln_pre.bias", ("visual", "ln_pre", "bias"), None),
-        ("visual.ln_post.weight", ("visual", "ln_post", "scale"), None),
-        ("visual.ln_post.bias", ("visual", "ln_post", "bias"), None),
-        ("visual.proj", ("visual", "proj"), None),
         ("token_embedding.weight", ("text", "token_embedding", "embedding"), None),
         ("positional_embedding", ("text", "positional_embedding"), None),
         ("ln_final.weight", ("text", "ln_final", "scale"), None),
         ("ln_final.bias", ("text", "ln_final", "bias"), None),
         ("text_projection", ("text", "text_projection_kernel"), None),
     ]
-    for i in range(vision_layers):
-        entries += _block_entries("visual.transformer", ("visual", "transformer"), i)
+    if resnet_visual is not None:
+        entries += build_resnet_vision_map(resnet_visual)
+    else:
+        entries += [
+            ("visual.conv1.weight", ("visual", "conv1_kernel"), "conv"),
+            ("visual.class_embedding", ("visual", "class_embedding"), None),
+            ("visual.positional_embedding",
+             ("visual", "positional_embedding"), None),
+            ("visual.ln_pre.weight", ("visual", "ln_pre", "scale"), None),
+            ("visual.ln_pre.bias", ("visual", "ln_pre", "bias"), None),
+            ("visual.ln_post.weight", ("visual", "ln_post", "scale"), None),
+            ("visual.ln_post.bias", ("visual", "ln_post", "bias"), None),
+            ("visual.proj", ("visual", "proj"), None),
+        ]
+        for i in range(vision_layers):
+            entries += _block_entries(
+                "visual.transformer", ("visual", "transformer"), i
+            )
     for i in range(text_layers):
         entries += _block_entries("transformer", ("text", "transformer"), i)
     if has_cosmos_heads:
@@ -168,7 +228,8 @@ def torch_state_dict_to_params(
             (k[len("text."):] if k.startswith("text.") else k): v
             for k, v in sd.items()
         }
-    vision_layers = len(
+    is_resnet = "attnpool" in reference_params["visual"]
+    vision_layers = 0 if is_resnet else len(
         [k for k in reference_params["visual"]["transformer"] if k.startswith("resblocks")]
     )
     text_layers = len(
@@ -176,7 +237,10 @@ def torch_state_dict_to_params(
     )
     has_cosmos = "image_token_mapping" in reference_params
     has_poolers = "attn_cross_pool" in reference_params.get("visual", {})
-    name_map = build_name_map(vision_layers, text_layers, has_cosmos, has_poolers)
+    name_map = build_name_map(
+        vision_layers, text_layers, has_cosmos, has_poolers,
+        resnet_visual=reference_params["visual"] if is_resnet else None,
+    )
 
     out: Dict = {}
     used = set()
@@ -223,7 +287,8 @@ def torch_state_dict_to_params(
 
 def params_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     """Inverse conversion (for push_to_hf / interop tests)."""
-    vision_layers = len(
+    is_resnet = "attnpool" in params["visual"]
+    vision_layers = 0 if is_resnet else len(
         [k for k in params["visual"]["transformer"] if k.startswith("resblocks")]
     )
     text_layers = len(
@@ -231,7 +296,10 @@ def params_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     )
     has_cosmos = "image_token_mapping" in params
     has_poolers = "attn_cross_pool" in params.get("visual", {})
-    name_map = build_name_map(vision_layers, text_layers, has_cosmos, has_poolers)
+    name_map = build_name_map(
+        vision_layers, text_layers, has_cosmos, has_poolers,
+        resnet_visual=params["visual"] if is_resnet else None,
+    )
     out = {}
     for tkey, fpath, tf in name_map:
         node = params

@@ -60,6 +60,22 @@ class CLIP(nn.Module):
             act = get_act_fn("quick_gelu")
         else:
             act = get_act_fn("gelu_tanh" if self.act_approx else "gelu")
+        if isinstance(v.layers, (tuple, list)):
+            # ModifiedResNet dispatch (reference model.py _build_vision_tower:
+            # tuple layer counts select the legacy ResNet tower)
+            from .modified_resnet import ModifiedResNet
+
+            self.visual = ModifiedResNet(
+                layers=tuple(v.layers),
+                output_dim=c.embed_dim,
+                heads=v.width * 32 // 64,
+                image_size=v.image_size,
+                width=v.width,
+                dtype=self.dtype,
+                name="visual",
+            )
+            self._setup_text(act)
+            return
         self.visual = VisionTransformer(
             image_size=v.image_size,
             patch_size=v.patch_size,
@@ -73,6 +89,9 @@ class CLIP(nn.Module):
             no_ln_pre=v.no_ln_pre,
             pos_embed_type=v.pos_embed_type,
             pool_type=v.pool_type,
+            class_token=v.class_token,
+            patch_bias=v.patch_bias,
+            no_proj=v.no_proj,
             final_ln_after_pool=v.final_ln_after_pool,
             attentional_pool=v.attentional_pool,
             attn_pooler_heads=v.attn_pooler_heads,
@@ -83,6 +102,19 @@ class CLIP(nn.Module):
             use_flash=self.use_flash,
             name="visual",
         )
+        self._setup_text(act)
+
+    def _setup_text(self, act):
+        c = self.cfg
+        t = c.text_cfg
+        if t.hf_model_name or t.hf_model_config:
+            from .hf_model import build_hf_text_tower
+
+            self.text = build_hf_text_tower(
+                t, c.embed_dim, dtype=self.dtype, name="text"
+            )
+            self._setup_tail()
+            return
         self.text = TextTransformer(
             context_length=t.context_length,
             vocab_size=t.vocab_size,
@@ -106,6 +138,11 @@ class CLIP(nn.Module):
             use_flash=self.use_flash,
             name="text",
         )
+        self._setup_tail()
+
+    def _setup_tail(self):
+        c = self.cfg
+        v, t = c.vision_cfg, c.text_cfg
         self.logit_scale = self.param(
             "logit_scale", _logit_scale_init(c.init_logit_scale), (), jnp.float32
         )
@@ -212,7 +249,7 @@ class CLIP(nn.Module):
         run_crossmodal = (
             batch_size is not None
             and self.output_all
-            and self.visual.attn_cross_pool is not None
+            and getattr(self.visual, "attn_cross_pool", None) is not None
         )
         if run_crossmodal:
             assert img_features is not None and txt_features is not None

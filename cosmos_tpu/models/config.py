@@ -20,7 +20,9 @@ class VisionCfg:
     image_size: int = 224
     patch_size: int = 16
     width: int = 768
-    layers: int = 12
+    # int -> ViT depth; tuple/list of 4 -> ModifiedResNet stage counts
+    # (reference model.py:58-66 CLIPVisionCfg.layers Union[Tuple,int])
+    layers: Any = 12
     head_width: int = 64
     mlp_ratio: float = 4.0
     ls_init_value: Optional[float] = None
@@ -34,6 +36,11 @@ class VisionCfg:
     final_ln_after_pool: bool = False
     pool_type: str = "tok"
     output_all: bool = False
+    # SigLIP-family vision options (no CLS token, biased patch embed,
+    # MAP pooling head, width == embed_dim so no final projection)
+    class_token: bool = True
+    patch_bias: bool = False
+    no_proj: bool = False
 
     @property
     def heads(self) -> int:
@@ -59,6 +66,15 @@ class TextCfg:
     pool_type: str = "argmax"
     proj_bias: bool = False
     output_all: bool = False
+    # HF text tower (reference model.py CLIPTextCfg hf_* fields; wired via
+    # factory.py:87-110).  hf_model_config: offline dict with 'model_type'
+    # + config kwargs, used instead of fetching hf_model_name.
+    hf_model_name: Optional[str] = None
+    hf_tokenizer_name: Optional[str] = None
+    hf_model_pretrained: bool = True
+    hf_proj_type: Optional[str] = None
+    hf_pooler_type: Optional[str] = None
+    hf_model_config: Optional[Dict[str, Any]] = None
 
 
 @dataclasses.dataclass

@@ -12,6 +12,7 @@ from __future__ import annotations
 import logging
 from typing import Any, Dict
 
+import jax
 import numpy as np
 
 logger = logging.getLogger(__name__)
@@ -36,64 +37,131 @@ def _bv(sd, key):
     raise KeyError(key)
 
 
-def convert_big_vision_siglip(npz, reference_params: Dict) -> Dict:
-    """big_vision SigLIP npz -> param tree.
+def _bv_ln(sd, prefix) -> Dict:
+    return {"scale": _bv(sd, f"{prefix}/scale"), "bias": _bv(sd, f"{prefix}/bias")}
 
-    Maps the jax/big_vision naming (img/Transformer/encoderblock_N/...,
-    txt/Encoder_0/...) onto this package's tower layout.  Only the ViT +
-    text-transformer weights are mapped; SigLIP's MAP head differs from
-    CLIP pooling and raises if the target model expects 'tok' pooling.
+
+def _bv_block(sd, p: str) -> Dict:
+    """One big_vision encoderblock -> this package's resblock layout."""
+    blk = {
+        "ln_1": _bv_ln(sd, f"{p}/LayerNorm_0"),
+        "ln_2": _bv_ln(sd, f"{p}/LayerNorm_1"),
+    }
+    att = f"{p}/MultiHeadDotProductAttention_0"
+    d = _bv(sd, f"{att}/query/kernel").shape[0]
+
+    def flat(name):
+        k = _bv(sd, f"{att}/{name}/kernel").reshape(d, -1)
+        b = _bv(sd, f"{att}/{name}/bias").reshape(-1)
+        return k, b
+
+    qk, qb = flat("query")
+    kk, kb = flat("key")
+    vk, vb = flat("value")
+    blk["attn"] = {
+        "in_proj_kernel": np.concatenate([qk, kk, vk], axis=1),
+        "in_proj_bias": np.concatenate([qb, kb, vb]),
+        "out_proj": {
+            "kernel": _bv(sd, f"{att}/out/kernel").reshape(-1, d),
+            "bias": _bv(sd, f"{att}/out/bias"),
+        },
+    }
+    mlp = f"{p}/MlpBlock_0"
+    blk["mlp"] = {
+        "c_fc": {"kernel": _bv(sd, f"{mlp}/Dense_0/kernel"),
+                 "bias": _bv(sd, f"{mlp}/Dense_0/bias")},
+        "c_proj": {"kernel": _bv(sd, f"{mlp}/Dense_1/kernel"),
+                   "bias": _bv(sd, f"{mlp}/Dense_1/bias")},
+    }
+    return blk
+
+
+def _bv_blocks(sd, prefix: str) -> Dict:
+    blocks = {}
+    i = 0
+    while (f"params/{prefix}/encoderblock_{i}/LayerNorm_0/scale" in sd
+           or f"{prefix}/encoderblock_{i}/LayerNorm_0/scale" in sd):
+        blocks[f"resblocks_{i}"] = _bv_block(sd, f"{prefix}/encoderblock_{i}")
+        i += 1
+    return blocks
+
+
+def convert_big_vision_siglip(npz, reference_params: Dict) -> Dict:
+    """big_vision SigLIP npz -> full param tree.
+
+    Maps the jax/big_vision naming (reference convert.py:13-140's source
+    layout) onto this package's towers: vision = no-CLS ViT with biased
+    patch embed + MAP pooling head (VisionCfg class_token=False,
+    patch_bias=True, pool_type='map', no_proj=True); text = TextTransformer
+    with no_causal_mask, pool_type='last', proj_bias=True.
     """
     sd = {k: npz[k] for k in npz.files} if hasattr(npz, "files") else dict(npz)
 
-    out = {"visual": {"transformer": {}}, "text": {"transformer": {}}}
-    out["visual"]["conv1_kernel"] = _bv(sd, "img/embedding/kernel")
-    out["visual"]["positional_embedding"] = _bv(
-        sd, "img/pos_embedding"
-    ).reshape(-1, _bv(sd, "img/pos_embedding").shape[-1])
-    i = 0
-    while f"params/img/Transformer/encoderblock_{i}/LayerNorm_0/scale" in sd or \
-          f"img/Transformer/encoderblock_{i}/LayerNorm_0/scale" in sd:
-        p = f"img/Transformer/encoderblock_{i}"
-        blk = {
-            "ln_1": {"scale": _bv(sd, f"{p}/LayerNorm_0/scale"),
-                     "bias": _bv(sd, f"{p}/LayerNorm_0/bias")},
-            "ln_2": {"scale": _bv(sd, f"{p}/LayerNorm_1/scale"),
-                     "bias": _bv(sd, f"{p}/LayerNorm_1/bias")},
-        }
-        att = f"{p}/MultiHeadDotProductAttention_0"
-        d = _bv(sd, f"{att}/query/kernel").shape[0]
+    out: Dict = {"visual": {}, "text": {}}
 
-        def flat(name):
-            k = _bv(sd, f"{att}/{name}/kernel").reshape(d, -1)
-            b = _bv(sd, f"{att}/{name}/bias").reshape(-1)
-            return k, b
+    # --- vision tower ----------------------------------------------------
+    vis = out["visual"]
+    vis["conv1_kernel"] = _bv(sd, "img/embedding/kernel")  # HWIO already
+    vis["conv1_bias"] = _bv(sd, "img/embedding/bias")
+    pe = _bv(sd, "img/pos_embedding")
+    vis["positional_embedding"] = pe.reshape(-1, pe.shape[-1])  # no CLS row
+    vis["transformer"] = _bv_blocks(sd, "img/Transformer")
+    vis["ln_post"] = _bv_ln(sd, "img/Transformer/encoder_norm")
+    mp = "img/MAPHead_0"
+    att = f"{mp}/MultiHeadDotProductAttention_0"
+    d = _bv(sd, f"{att}/query/kernel").shape[0]
+    kk = _bv(sd, f"{att}/key/kernel").reshape(d, -1)
+    vk = _bv(sd, f"{att}/value/kernel").reshape(d, -1)
+    kb = _bv(sd, f"{att}/key/bias").reshape(-1)
+    vb = _bv(sd, f"{att}/value/bias").reshape(-1)
+    vis["attn_pool"] = {
+        "probe": _bv(sd, f"{mp}/probe"),
+        "q": {"kernel": _bv(sd, f"{att}/query/kernel").reshape(d, -1),
+              "bias": _bv(sd, f"{att}/query/bias").reshape(-1)},
+        "kv": {"kernel": np.concatenate([kk, vk], axis=1),
+               "bias": np.concatenate([kb, vb])},
+        "out": {"kernel": _bv(sd, f"{att}/out/kernel").reshape(-1, d),
+                "bias": _bv(sd, f"{att}/out/bias")},
+        "ln": _bv_ln(sd, f"{mp}/LayerNorm_0"),
+        "c_fc": {"kernel": _bv(sd, f"{mp}/MlpBlock_0/Dense_0/kernel"),
+                 "bias": _bv(sd, f"{mp}/MlpBlock_0/Dense_0/bias")},
+        "c_proj": {"kernel": _bv(sd, f"{mp}/MlpBlock_0/Dense_1/kernel"),
+                   "bias": _bv(sd, f"{mp}/MlpBlock_0/Dense_1/bias")},
+    }
+    n_vis = len(vis["transformer"])
 
-        qk, qb = flat("query")
-        kk, kb = flat("key")
-        vk, vb = flat("value")
-        blk["attn"] = {
-            "in_proj_kernel": np.concatenate([qk, kk, vk], axis=1),
-            "in_proj_bias": np.concatenate([qb, kb, vb]),
-            "out_proj": {
-                "kernel": _bv(sd, f"{att}/out/kernel").reshape(-1, d),
-                "bias": _bv(sd, f"{att}/out/bias"),
-            },
-        }
-        mlp = f"{p}/MlpBlock_0"
-        blk["mlp"] = {
-            "c_fc": {"kernel": _bv(sd, f"{mlp}/Dense_0/kernel"),
-                     "bias": _bv(sd, f"{mlp}/Dense_0/bias")},
-            "c_proj": {"kernel": _bv(sd, f"{mlp}/Dense_1/kernel"),
-                       "bias": _bv(sd, f"{mlp}/Dense_1/bias")},
-        }
-        out["visual"]["transformer"][f"resblocks_{i}"] = blk
-        i += 1
-    logger.info(f"converted {i} SigLIP vision blocks")
-    raise NotImplementedError(
-        "SigLIP npz conversion: vision blocks map cleanly but SigLIP's MAP "
-        "pooling head has no CLIP equivalent in this model family; load "
-        "SigLIP weights via an attentional-pool config once needed."
+    # --- text tower --------------------------------------------------------
+    txt = out["text"]
+    txt["token_embedding"] = {"embedding": _bv(sd, "txt/Embed_0/embedding")}
+    tpe = _bv(sd, "txt/pos_embedding")
+    txt["positional_embedding"] = tpe.reshape(-1, tpe.shape[-1])
+    txt["transformer"] = _bv_blocks(sd, "txt/Encoder_0")
+    txt["ln_final"] = _bv_ln(sd, "txt/Encoder_0/encoder_norm")
+    txt["text_projection"] = {
+        "kernel": _bv(sd, "txt/head/kernel"),
+        "bias": _bv(sd, "txt/head/bias"),
+    }
+
+    # --- scalars -----------------------------------------------------------
+    out["logit_scale"] = np.asarray(_bv(sd, "t")).reshape(())
+    out["logit_bias"] = np.asarray(_bv(sd, "b")).reshape(())
+    logger.info(
+        f"converted SigLIP npz: {n_vis} vision + "
+        f"{len(txt['transformer'])} text blocks"
+    )
+
+    # merge with the reference tree (anything not in the npz stays at init)
+    def merge(ref, new):
+        if not isinstance(ref, dict):
+            if new is not None and hasattr(ref, "shape") and hasattr(new, "shape"):
+                assert tuple(np.shape(new)) == tuple(np.shape(ref)), (
+                    f"shape mismatch: {np.shape(new)} vs {np.shape(ref)}"
+                )
+            return new if new is not None else ref
+        return {k: merge(ref[k], (new or {}).get(k)) for k in ref}
+
+    return jax.tree.map(
+        lambda x: np.asarray(x, np.float32), merge(reference_params, out)
     )
 
 
@@ -107,7 +175,14 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
     if fmt == "big_vision_siglip":
         return convert_big_vision_siglip(sd, params)
     if fmt == "mobileclip":
+        # Documented decision: MobileCLIP checkpoints require timm's
+        # FastViT/RepMixer trunks (reference convert.py:142-180 maps onto
+        # a timm image tower), which are torch-only; this framework has no
+        # timm vision path (models/timm_model.py). COSMOS itself never
+        # ships or evaluates MobileCLIP weights, so this stays unsupported
+        # rather than half-mapped.
         raise NotImplementedError(
-            "MobileCLIP uses timm trunks; no timm in this environment"
+            "MobileCLIP conversion is unsupported: it needs a timm "
+            "FastViT trunk (torch-only); no COSMOS artifact uses it"
         )
     raise ValueError(f"unrecognized checkpoint format (keys: {list(sd)[:5]})")

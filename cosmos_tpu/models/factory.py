@@ -90,6 +90,17 @@ def create_model(
     params = None
     if init_params:
         params = init_model_params(model, seed=seed)
+    if (
+        params is not None
+        and cfg.text_cfg.hf_model_name
+        and cfg.text_cfg.hf_model_pretrained
+        and not pretrained
+    ):
+        # the reference builds HF towers pretrained-by-default
+        # (hf_model.py:106); an explicit `pretrained` checkpoint supersedes
+        from .hf_model import load_hf_pretrained_params
+
+        params = load_hf_pretrained_params(params, cfg.text_cfg.hf_model_name)
     if pretrained:
         from .checkpoint import load_checkpoint
         from .pretrained import resolve_pretrained
@@ -185,9 +196,16 @@ def create_loss(args):
 
 
 def get_tokenizer(model_name: str = "", context_length: Optional[int] = None, **kwargs):
-    from cosmos_tpu.data.tokenizer import SimpleTokenizer
+    """Tokenizer dispatch (reference factory.py:87-110): configs whose
+    text_cfg names an HF tokenizer get HFTokenizer, else SimpleTokenizer."""
+    from cosmos_tpu.data.tokenizer import HFTokenizer, SimpleTokenizer
 
     cfg = get_model_config(model_name) if model_name else None
+    text_cfg = (cfg or {}).get("text_cfg", {})
     if context_length is None and cfg:
-        context_length = cfg.get("text_cfg", {}).get("context_length", 77)
+        context_length = text_cfg.get("context_length", 77)
+    hf_tok = text_cfg.get("hf_tokenizer_name")
+    if hf_tok:
+        return HFTokenizer(hf_tok, context_length=context_length or 77,
+                           **kwargs)
     return SimpleTokenizer(context_length=context_length or 77, **kwargs)

@@ -1,14 +1,18 @@
-"""HuggingFace text tower adapter (Flax).
+"""HuggingFace text tower (Flax-native, wired into the factory).
 
 Parity target: /root/reference/src/open_clip/hf_model.py:39-193 —
 AutoModel text encoder + pooler registry (mean/cls/last pooling over
 hidden states with attention masking) + linear or MLP projection head to
-the CLIP embedding dim.  Uses transformers' Flax model classes so the
-tower stays a pure-functional pytree like the rest of the framework.
+the CLIP embedding dim.  The reference wires it through
+factory.py:87-110 (tokenizer dispatch) and model.py text_cfg
+``hf_model_name``; here the tower is a real flax.linen.Module wrapping
+the transformers Flax *module* class, so it lives inside the CLIP param
+pytree and works under jit/shard_map like the first-party text tower.
 """
 
 from __future__ import annotations
 
+import inspect
 import logging
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -65,59 +69,116 @@ class HFProjectionHead(nn.Module):
                         name="dense2")(h)
 
 
-class HFTextEncoder:
-    """Wraps a transformers Flax model as a CLIP text tower.
+class HFTextTower(nn.Module):
+    """A transformers Flax encoder as a CLIP text tower.
 
-    Not an nn.Module: holds the HF module + its params and exposes
-    ``(tokens, attention_mask) -> (pooled, token_states)`` plus a
-    projection-head module with separate params.
+    Exposes the same ``(tokens) -> (pooled_projected, token_states)``
+    surface as TextTransformer so CLIP can swap it in transparently
+    (reference hf_model.py:96-152 HFTextEncoder.forward).
     """
 
-    def __init__(
-        self,
-        model_name_or_config,
-        output_dim: int,
-        pooler_type: str = "mean_pooler",
-        proj_type: str = "mlp",
-        pretrained: bool = True,
-        seed: int = 0,
-    ):
-        from transformers import AutoConfig, FlaxAutoModel
+    hf_config: Any          # transformers PretrainedConfig
+    module_cls: Any         # e.g. FlaxBertModule (the *module*, not the wrapper)
+    output_dim: int
+    pooler_type: str = "mean_pooler"
+    proj_type: str = "mlp"
+    pad_id: int = 0
+    dtype: Any = jnp.float32
 
-        if isinstance(model_name_or_config, str):
-            if pretrained:
-                self.hf_model = FlaxAutoModel.from_pretrained(model_name_or_config)
-            else:
-                config = AutoConfig.from_pretrained(model_name_or_config)
-                self.hf_model = FlaxAutoModel.from_config(config)
-        else:  # an AutoConfig instance (offline tests)
-            self.hf_model = FlaxAutoModel.from_config(model_name_or_config)
-
-        self.pooler = _POOLERS[pooler_type]
-        self.proj = HFProjectionHead(output_dim=output_dim, proj_type=proj_type)
-        hidden = self.hf_model.config.hidden_size
-        self.proj_params = self.proj.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, hidden))
-        )["params"]
-
-    @property
-    def params(self):
-        return {"hf": self.hf_model.params, "proj": self.proj_params}
-
-    def __call__(
-        self,
-        params,
-        input_ids: jax.Array,
-        attention_mask: Optional[jax.Array] = None,
-    ) -> Tuple[jax.Array, jax.Array]:
-        if attention_mask is None:
-            attention_mask = (input_ids != 0).astype(jnp.int32)
-        out = self.hf_model(
-            input_ids=input_ids,
-            attention_mask=attention_mask,
-            params=params["hf"],
+    def setup(self):
+        self.hf = self.module_cls(config=self.hf_config, dtype=self.dtype,
+                                  name="hf")
+        self.proj = HFProjectionHead(
+            output_dim=self.output_dim, proj_type=self.proj_type,
+            dtype=self.dtype, name="proj",
         )
-        hidden = out.last_hidden_state
-        pooled = self.pooler(hidden, attention_mask)
-        projected = self.proj.apply({"params": params["proj"]}, pooled)
-        return projected, hidden
+        # parity surface with TextTransformer (no COSMOS cross-pool on the
+        # HF path — the reference's HF towers ride CustomTextCLIP, which
+        # has no cosmos heads)
+        self.attn_cross_pool = None
+
+    def __call__(self, text: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        attention_mask = (text != self.pad_id).astype(jnp.int32)
+        b, n = text.shape
+        # transformers Flax module signatures differ per arch; feed only
+        # the kwargs this one accepts
+        accepted = set(inspect.signature(self.module_cls.__call__).parameters)
+        kwargs: Dict[str, Any] = {}
+        if "token_type_ids" in accepted:
+            kwargs["token_type_ids"] = jnp.zeros_like(text)
+        if "position_ids" in accepted:
+            kwargs["position_ids"] = jnp.broadcast_to(jnp.arange(n), (b, n))
+        if "head_mask" in accepted:
+            kwargs["head_mask"] = None
+        if "deterministic" in accepted:
+            kwargs["deterministic"] = True
+        out = self.hf(text, attention_mask, **kwargs)
+        hidden = getattr(out, "last_hidden_state", None)
+        if hidden is None:
+            hidden = out[0]
+        pooled = _POOLERS[self.pooler_type](hidden, attention_mask)
+        return self.proj(pooled), hidden
+
+
+def resolve_hf_config(text_cfg) -> Any:
+    """text_cfg -> transformers PretrainedConfig.
+
+    ``hf_model_config`` (a dict with at least ``model_type``) builds an
+    offline config (tests / air-gapped); otherwise ``hf_model_name`` is
+    fetched via AutoConfig.from_pretrained.
+    """
+    from transformers import AutoConfig
+
+    if getattr(text_cfg, "hf_model_config", None):
+        d = dict(text_cfg.hf_model_config)
+        model_type = d.pop("model_type")
+        return AutoConfig.for_model(model_type, **d)
+    return AutoConfig.from_pretrained(text_cfg.hf_model_name)
+
+
+def resolve_hf_module_cls(config) -> Any:
+    """PretrainedConfig -> the arch's Flax *module* class."""
+    from transformers import FlaxAutoModel
+
+    model_cls = FlaxAutoModel._model_mapping[type(config)]
+    return model_cls.module_class
+
+
+def build_hf_text_tower(text_cfg, embed_dim: int, dtype=jnp.float32,
+                        name: str = "text") -> HFTextTower:
+    """Factory hook: text_cfg with hf_model_name/hf_model_config -> tower.
+
+    Pooler defaults follow the reference's per-arch registry
+    (hf_configs.py arch_dict 'pooler' entries) unless hf_pooler_type
+    overrides it.
+    """
+    from .hf_configs import arch_dict
+
+    config = resolve_hf_config(text_cfg)
+    module_cls = resolve_hf_module_cls(config)
+    pooler = getattr(text_cfg, "hf_pooler_type", None) or arch_dict.get(
+        config.model_type, {}
+    ).get("pooler", "mean_pooler")
+    return HFTextTower(
+        hf_config=config,
+        module_cls=module_cls,
+        output_dim=embed_dim,
+        pooler_type=pooler,
+        proj_type=getattr(text_cfg, "hf_proj_type", None) or "mlp",
+        pad_id=getattr(text_cfg, "pad_id", 0),
+        dtype=dtype,
+        name=name,
+    )
+
+
+def load_hf_pretrained_params(params: Dict, hf_model_name: str) -> Dict:
+    """Insert pretrained HF encoder weights under params['text']['hf']
+    (reference builds the tower pretrained-by-default, hf_model.py:106)."""
+    from transformers import FlaxAutoModel
+
+    hf = FlaxAutoModel.from_pretrained(hf_model_name)
+    params = dict(params)
+    text = dict(params.get("text", {}))
+    text["hf"] = hf.params
+    params["text"] = text
+    return params

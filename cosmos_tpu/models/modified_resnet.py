@@ -6,8 +6,10 @@ stages where stride>1 becomes avgpool-then-conv, and a final
 AttentionPool2d whose query is the mean token (:58-95).
 
 Legacy architecture support (RN50-family checkpoints); NHWC layout.
-BatchNorm runs with running statistics (inference) by default; training
-updates batch_stats when ``use_running_average=False``.
+BatchNorm statistics live in the param tree (frozen-BN inference math —
+the RN path exists for loading/evaluating released OpenAI checkpoints,
+reference openai.py:24-90, so running-stat updates aren't needed and the
+whole tower stays a plain {"params": ...} pytree like every other model).
 """
 
 from __future__ import annotations
@@ -22,6 +24,27 @@ from flax import linen as nn
 Dtype = Any
 
 
+class FrozenBatchNorm(nn.Module):
+    """Inference BatchNorm with (scale, bias, mean, var) as params.
+
+    Matches torch BatchNorm2d eval-mode math: (x - mean)/sqrt(var+eps)
+    * weight + bias, computed in f32.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(self.dtype)
+
+
 def avg_pool(x: jax.Array, stride: int) -> jax.Array:
     if stride <= 1:
         return x
@@ -33,17 +56,10 @@ class Bottleneck(nn.Module):
     stride: int = 1
     expansion: int = 4
     dtype: Dtype = jnp.float32
-    use_running_average: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name=name,
-        )
+        bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
         out = nn.relu(bn("bn1")(nn.Conv(
             self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
         )(x)))
@@ -113,14 +129,14 @@ class ModifiedResNet(nn.Module):
     image_size: int = 224
     width: int = 64
     dtype: Dtype = jnp.float32
-    use_running_average: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name,
-        )
+    def __call__(
+        self, x: jax.Array, csa: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
+        if csa:
+            raise NotImplementedError("CSA segmentation needs a ViT tower")
+        bn = lambda name: FrozenBatchNorm(dtype=self.dtype, name=name)
         # 3-layer stem
         x = nn.relu(bn("bn1")(nn.Conv(
             self.width // 2, (3, 3), strides=2, padding=1, use_bias=False,
@@ -141,7 +157,6 @@ class ModifiedResNet(nn.Module):
                     planes=planes,
                     stride=stride if blk == 0 else 1,
                     dtype=self.dtype,
-                    use_running_average=self.use_running_average,
                     name=f"layer{stage + 1}_{blk}",
                 )(x)
             planes *= 2

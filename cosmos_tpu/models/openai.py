@@ -22,18 +22,37 @@ def config_from_openai_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     (model.py:575-610 shape probing)."""
     get = lambda k: np.asarray(sd[k])
     vit = "visual.proj" in sd
-    if not vit:
-        raise NotImplementedError(
-            "only ViT OpenAI checkpoints supported (ResNet: use "
-            "ModifiedResNet manually)"
+    if vit:
+        vision_width = get("visual.conv1.weight").shape[0]
+        vision_layers = len(
+            [k for k in sd if re.fullmatch(r"visual\.transformer\.resblocks\.\d+\.attn\.in_proj_weight", k)]
         )
-    vision_width = get("visual.conv1.weight").shape[0]
-    vision_layers = len(
-        [k for k in sd if re.fullmatch(r"visual\.transformer\.resblocks\.\d+\.attn\.in_proj_weight", k)]
-    )
-    patch_size = get("visual.conv1.weight").shape[-1]
-    grid = int((get("visual.positional_embedding").shape[0] - 1) ** 0.5)
-    image_size = grid * patch_size
+        patch_size = get("visual.conv1.weight").shape[-1]
+        grid = int((get("visual.positional_embedding").shape[0] - 1) ** 0.5)
+        image_size = grid * patch_size
+        vision_cfg = {
+            "image_size": int(image_size),
+            "patch_size": int(patch_size),
+            "width": int(vision_width),
+            "layers": int(vision_layers),
+            "head_width": 64 if vision_width % 64 == 0 else int(vision_width),
+        }
+    else:
+        # ModifiedResNet (reference model.py:583-592 shape probing)
+        counts = [
+            len({k.split(".")[2] for k in sd
+                 if k.startswith(f"visual.layer{b}.")})
+            for b in (1, 2, 3, 4)
+        ]
+        vision_width = get("visual.layer1.0.conv1.weight").shape[0]
+        output_width = int(round(
+            (get("visual.attnpool.positional_embedding").shape[0] - 1) ** 0.5
+        ))
+        vision_cfg = {
+            "image_size": int(output_width * 32),
+            "width": int(vision_width),
+            "layers": tuple(int(c) for c in counts),
+        }
     embed_dim = get("text_projection").shape[1]
     context_length = get("positional_embedding").shape[0]
     vocab_size = get("token_embedding.weight").shape[0]
@@ -45,13 +64,7 @@ def config_from_openai_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {
         "embed_dim": int(embed_dim),
         "quick_gelu": True,  # OpenAI models use QuickGELU
-        "vision_cfg": {
-            "image_size": int(image_size),
-            "patch_size": int(patch_size),
-            "width": int(vision_width),
-            "layers": int(vision_layers),
-            "head_width": 64 if vision_width % 64 == 0 else int(vision_width),
-        },
+        "vision_cfg": vision_cfg,
         "text_cfg": {
             "context_length": int(context_length),
             "vocab_size": int(vocab_size),

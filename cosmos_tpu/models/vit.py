@@ -51,12 +51,15 @@ def sincos_2d_pos_embed(dim: int, grid: int, cls_token: bool = True) -> np.ndarr
 
 
 def interpolate_pos_embed(
-    pos_embed: jax.Array, src_grid: Tuple[int, int], dst_grid: Tuple[int, int]
+    pos_embed: jax.Array,
+    src_grid: Tuple[int, int],
+    dst_grid: Tuple[int, int],
+    num_prefix: int = 1,
 ) -> jax.Array:
-    """Bicubic-resize the patch part of a [1+N, D] pos embed to a new grid."""
+    """Bicubic-resize the patch part of a [prefix+N, D] pos embed."""
     if src_grid == dst_grid:
         return pos_embed
-    cls_pe, patch_pe = pos_embed[:1], pos_embed[1:]
+    cls_pe, patch_pe = pos_embed[:num_prefix], pos_embed[num_prefix:]
     d = pos_embed.shape[-1]
     grid = patch_pe.reshape(src_grid[0], src_grid[1], d).astype(jnp.float32)
     resized = jax.image.resize(
@@ -65,6 +68,46 @@ def interpolate_pos_embed(
     return jnp.concatenate(
         [cls_pe, resized.reshape(-1, d).astype(pos_embed.dtype)], axis=0
     )
+
+
+class MAPHead(nn.Module):
+    """big_vision MAP pooling head — the SigLIP image pooler: a learned
+    probe cross-attends over the patch tokens, then an MLP residual
+    (reference convert.py:89-105 maps this layout from the npz)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    act_fn: Callable[[jax.Array], jax.Array] = gelu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, n, d = x.shape
+        probe = self.param(
+            "probe", nn.initializers.xavier_uniform(), (1, 1, d), jnp.float32
+        )
+        q = nn.Dense(d, dtype=self.dtype, name="q")(
+            jnp.broadcast_to(probe.astype(x.dtype), (b, 1, d))
+        )
+        kv = nn.Dense(2 * d, dtype=self.dtype, name="kv")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        hd = d // self.num_heads
+
+        def heads(t):
+            return t.reshape(b, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", heads(q), heads(k),
+            preferred_element_type=jnp.float32,
+        ) * hd ** -0.5
+        wts = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", wts, heads(v))
+        o = o.transpose(0, 2, 1, 3).reshape(b, 1, d)
+        o = nn.Dense(d, dtype=self.dtype, name="out")(o)
+        y = LayerNorm(name="ln")(o)
+        h = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="c_fc")(y)
+        o = o + nn.Dense(d, dtype=self.dtype, name="c_proj")(self.act_fn(h))
+        return o[:, 0]
 
 
 class VisionTransformer(nn.Module):
@@ -79,7 +122,10 @@ class VisionTransformer(nn.Module):
     patch_dropout_prob: float = 0.0
     no_ln_pre: bool = False
     pos_embed_type: str = "learnable"   # 'learnable' | 'sin_cos_2d'
-    pool_type: str = "tok"              # 'tok' | 'avg' | 'none'
+    pool_type: str = "tok"              # 'tok' | 'avg' | 'map' | 'none'
+    class_token: bool = True            # SigLIP ViTs have no CLS token
+    patch_bias: bool = False            # SigLIP patch embed has a bias
+    no_proj: bool = False               # SigLIP: embed dim == width
     final_ln_after_pool: bool = False
     attentional_pool: bool = False
     attn_pooler_heads: int = 8
@@ -103,13 +149,23 @@ class VisionTransformer(nn.Module):
             (p, p, 3, w),
             jnp.float32,
         )
-        self.class_embedding = self.param(
-            "class_embedding",
-            nn.initializers.normal(stddev=scale),
-            (w,),
-            jnp.float32,
-        )
-        n_pos = self.grid_size[0] * self.grid_size[1] + 1
+        if self.patch_bias:
+            self.conv1_bias = self.param(
+                "conv1_bias", nn.initializers.zeros, (w,), jnp.float32
+            )
+        else:
+            self.conv1_bias = None
+        if self.class_token:
+            self.class_embedding = self.param(
+                "class_embedding",
+                nn.initializers.normal(stddev=scale),
+                (w,),
+                jnp.float32,
+            )
+        else:
+            self.class_embedding = None
+        self.num_prefix = 1 if self.class_token else 0
+        n_pos = self.grid_size[0] * self.grid_size[1] + self.num_prefix
         if self.pos_embed_type == "learnable":
             self.positional_embedding = self.param(
                 "positional_embedding",
@@ -118,7 +174,9 @@ class VisionTransformer(nn.Module):
                 jnp.float32,
             )
         elif self.pos_embed_type == "sin_cos_2d":
-            fixed = sincos_2d_pos_embed(w, self.grid_size[0], cls_token=True)
+            fixed = sincos_2d_pos_embed(
+                w, self.grid_size[0], cls_token=self.class_token
+            )
             self.positional_embedding = self.param(
                 "positional_embedding",
                 lambda key, shape, dtype: jnp.asarray(fixed, dtype),
@@ -141,9 +199,21 @@ class VisionTransformer(nn.Module):
             use_flash=self.use_flash,
         )
         self.ln_post = LayerNorm(name="ln_post")
-        self.proj = self.param(
-            "proj", nn.initializers.normal(stddev=scale), (w, self.output_dim), jnp.float32
-        )
+        if self.no_proj:
+            self.proj = None
+        else:
+            self.proj = self.param(
+                "proj", nn.initializers.normal(stddev=scale),
+                (w, self.output_dim), jnp.float32,
+            )
+        if self.pool_type == "map":
+            self.attn_pool = MAPHead(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                act_fn=self.act_fn,
+                dtype=self.dtype,
+                name="attn_pool",
+            )
         if self.attentional_pool:
             # COSMOS image-token cross pooler at the embedding dim
             # (transformer.py:540-548).
@@ -166,7 +236,10 @@ class VisionTransformer(nn.Module):
         kernel = self.conv1_kernel.reshape(p * p * 3, self.width).astype(self.dtype)
         # no f32 output hint: MXU accumulates in f32 internally; the hint
         # would materialize an f32 activation tensor (pure HBM cost)
-        return jnp.dot(x.astype(self.dtype), kernel)
+        out = jnp.dot(x.astype(self.dtype), kernel)
+        if self.conv1_bias is not None:
+            out = out + self.conv1_bias.astype(out.dtype)
+        return out
 
     def __call__(
         self,
@@ -177,14 +250,17 @@ class VisionTransformer(nn.Module):
         """Returns (pooled [B, output_dim], tokens [B, N, width])."""
         b, h, w, _ = images.shape
         x = self.patchify(images)
-        cls = jnp.broadcast_to(
-            self.class_embedding.astype(x.dtype)[None, None, :], (b, 1, self.width)
-        )
-        x = jnp.concatenate([cls, x], axis=1)
+        if self.class_embedding is not None:
+            cls = jnp.broadcast_to(
+                self.class_embedding.astype(x.dtype)[None, None, :],
+                (b, 1, self.width),
+            )
+            x = jnp.concatenate([cls, x], axis=1)
         pe = interpolate_pos_embed(
             self.positional_embedding,
             self.grid_size,
             (h // self.patch_size, w // self.patch_size),
+            num_prefix=self.num_prefix,
         )
         x = x + pe.astype(x.dtype)[None]
 
@@ -203,12 +279,18 @@ class VisionTransformer(nn.Module):
             x = self.ln_post(x)
             pooled, tokens = self._pool(x)
 
-        pooled = jnp.dot(pooled.astype(self.dtype), self.proj.astype(self.dtype))
+        if self.proj is not None:
+            pooled = jnp.dot(
+                pooled.astype(self.dtype), self.proj.astype(self.dtype)
+            )
         return pooled, tokens
 
     def _pool(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        p = self.num_prefix
         if self.pool_type == "avg":
-            return x[:, 1:].mean(axis=1), x[:, 1:]
+            return x[:, p:].mean(axis=1), x[:, p:]
         if self.pool_type == "tok":
             return x[:, 0], x[:, 1:]
+        if self.pool_type == "map":
+            return self.attn_pool(x), x
         return x, x
