@@ -144,9 +144,12 @@ class TrainStepConfig:
     momentum_teacher: float = 0.999
     lr_schedule: Optional[Callable] = None          # for metric reporting
     input_dtype: Any = jnp.float32
-    # real gradient accumulation (the reference's --accum-freq was a dead
-    # branch asserted ==1 in the COSMOS path, train.py:143): micro-batches
-    # arrive stacked on a leading axis and grads average via lax.scan
+    # gradient accumulation: micro-batches arrive stacked on a leading
+    # axis.  Plain CLIP uses the OpenCLIP-exact cached-features algorithm
+    # (accum == big-batch gradients exactly); cosmos/siglip average
+    # per-microbatch grads instead (the reference asserts accum_freq==1 in
+    # its COSMOS path, train.py:143 — per-microbatch denominators is the
+    # documented divergence)
     accum_freq: int = 1
     # on-device normalization for uint8 batches (loader ships uint8 crops;
     # the (x/255 - mean)/std runs fused on the TPU, 4x less H2D traffic)
@@ -207,6 +210,16 @@ def make_train_step(
         t_flat = t.reshape(k * b, t.shape[2])
 
         if cfg.cosmos:
+            # the teacher distills against TWO global caption views; with
+            # k < 2 the t_flat[: 2*b] slice would silently pair unrelated
+            # samples (the reference hard-asserts len(t_text_features)==2,
+            # loss.py:189).  k is static at trace time, so this is free.
+            if k < 2:
+                raise ValueError(
+                    f"COSMOS training needs >=2 caption views, got k={k}; "
+                    "use --caption-sampling-mode textcrop/random with "
+                    "--num-sampled-captions >= 2"
+                )
             s_out = model.apply(
                 {"params": params}, g_flat, t_flat, l_flat, batch_size=b
             )
@@ -251,8 +264,94 @@ def make_train_step(
         losses["logit_scale"] = s_out["logit_scale"]
         return total, losses
 
+    def _fwd_features(params, mb):
+        """Normalized (image_views, text_views, logit_scale) for one
+        microbatch — the eval-style forward (no cosmos heads)."""
+        g = mb["global_images"]
+        vg, b = g.shape[0], g.shape[1]
+        g_flat = _prep_images(g.reshape((vg * b,) + g.shape[2:]))
+        l = mb.get("local_images")
+        l_flat = None
+        vl = 0
+        if l is not None:
+            vl = l.shape[0]
+            l_flat = _prep_images(l.reshape((vl * b,) + l.shape[2:]))
+        t = mb["texts"]
+        k = t.shape[0]
+        t_flat = t.reshape(k * b, t.shape[2])
+        s_out = model.apply({"params": params}, g_flat, t_flat, l_flat)
+        return (
+            _views(s_out["image_features"], vg + vl),
+            _views(s_out["text_features"], k),
+            s_out["logit_scale"],
+        )
+
+    def _accum_exact(state: TrainState, batch):
+        """OpenCLIP-exact gradient accumulation for the contrastive loss
+        (upstream open_clip train.py accum branch, which the reference
+        inherits): pass 1 caches no-grad features for every microbatch;
+        pass 2 re-forwards each microbatch and computes the loss against
+        the FULL batch of negatives, so sum-of-grads == big-batch grad
+        exactly (each pass's gradient flows only through its own slice).
+        logit_scale sees the full loss every pass, so its grad (alone)
+        averages over passes instead of summing."""
+        A = cfg.accum_freq
+
+        def cache_one(_, mb):
+            img, txt, _scale = _fwd_features(state.params, mb)
+            return None, (img, txt)
+
+        _, (imgs, txts) = jax.lax.scan(cache_one, None, batch)
+        # [A, V, B, D] -> [V, A*B, D]
+        a_, v_, b_, d_ = imgs.shape
+        k_ = txts.shape[1]
+        img_cache = imgs.transpose(1, 0, 2, 3).reshape(v_, a_ * b_, d_)
+        txt_cache = txts.transpose(1, 0, 2, 3).reshape(k_, a_ * b_, d_)
+
+        def micro(carry, inp):
+            grads_s, _ = carry
+            m, mb = inp
+
+            def loss_fn(params):
+                img_m, txt_m, scale = _fwd_features(params, mb)
+                img_full = jax.lax.dynamic_update_slice(
+                    img_cache, img_m, (0, m * b_, 0)
+                )
+                txt_full = jax.lax.dynamic_update_slice(
+                    txt_cache, txt_m, (0, m * b_, 0)
+                )
+                losses = loss_obj(img_full, txt_full, scale, output_dict=True)
+                total = sum(losses.values())
+                aux = dict(losses)
+                aux["logit_scale"] = scale
+                return total, aux
+
+            (t, a), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            return (jax.tree.map(jnp.add, grads_s, g), (t, a)), None
+
+        zero_aux = {"contrastive_loss": jnp.zeros(()),
+                    "logit_scale": jnp.zeros(())}
+        init = (
+            jax.tree.map(jnp.zeros_like, state.params),
+            (jnp.zeros(()), zero_aux),
+        )
+        (grads, (total, aux)), _ = jax.lax.scan(
+            micro, init, (jnp.arange(A), batch)
+        )
+
+        def _fix(path, gleaf):
+            names = [p.key for p in path if hasattr(p, "key")]
+            if any("logit_scale" in n or "logit_bias" in n for n in names):
+                return gleaf / A
+            return gleaf
+
+        grads = jax.tree_util.tree_map_with_path(_fix, grads)
+        return total, aux, grads
+
     def _step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        if cfg.accum_freq > 1:
+        if cfg.accum_freq > 1 and not cfg.cosmos and not cfg.siglip:
+            total, aux, grads = _accum_exact(state, batch)
+        elif cfg.accum_freq > 1:
             # batch leaves are [A, V, B_local, ...]
             def micro(carry, mb):
                 tot_s, aux_s, grads_s = carry
