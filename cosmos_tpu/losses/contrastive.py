@@ -95,12 +95,17 @@ class ClipLoss:
             all_img, all_txt = img, txt
             q_img, q_txt = img, txt
 
-        # one batched contraction for every view pair
+        # one batched contraction for every view pair.  Inputs stay in
+        # compute dtype (bf16 in training) — the MXU accumulates in f32 and
+        # preferred_element_type makes the OUTPUT f32 without materializing
+        # f32 copies of the (all-gathered) features in HBM first.
         logits_per_image = scale * jnp.einsum(
-            "ibd,jkd->ijbk", q_img.astype(jnp.float32), all_txt.astype(jnp.float32)
+            "ibd,jkd->ijbk", q_img, all_txt,
+            preferred_element_type=jnp.float32,
         )  # [Vi, Vt, Bq, Bk]
         logits_per_text = scale * jnp.einsum(
-            "jbd,ikd->ijbk", q_txt.astype(jnp.float32), all_img.astype(jnp.float32)
+            "jbd,ikd->ijbk", q_txt, all_img,
+            preferred_element_type=jnp.float32,
         )  # [Vi, Vt, Bq, Bk]
 
         labels = self._labels(q_img.shape[1])
@@ -214,8 +219,10 @@ class DistillClipLoss(ClipLoss):
         q_img = _as_views(img)[0] if (self.axis_name and self.local_loss) else all_img
         q_txt = _as_views(txt)[0] if (self.axis_name and self.local_loss) else all_txt
         s = scale.astype(jnp.float32)
-        li = s * q_img.astype(jnp.float32) @ all_txt.astype(jnp.float32).T
-        lt = s * q_txt.astype(jnp.float32) @ all_img.astype(jnp.float32).T
+        li = s * jnp.einsum("bd,kd->bk", q_img, all_txt,
+                            preferred_element_type=jnp.float32)
+        lt = s * jnp.einsum("bd,kd->bk", q_txt, all_img,
+                            preferred_element_type=jnp.float32)
         return li, lt
 
     @staticmethod
@@ -262,8 +269,8 @@ class SigLipLoss:
     axis_name: Optional[str] = None
 
     def _block(self, img, txt, scale, bias, negative_only: bool):
-        logits = scale.astype(jnp.float32) * (
-            img.astype(jnp.float32) @ txt.astype(jnp.float32).T
+        logits = scale.astype(jnp.float32) * jnp.einsum(
+            "bd,kd->bk", img, txt, preferred_element_type=jnp.float32
         )
         if bias is not None:
             logits = logits + bias.astype(jnp.float32)
