@@ -90,7 +90,11 @@ class MultiheadAttention(nn.Module):
         csa: bool = False,
         causal: bool = False,
         deterministic: bool = True,
+        ln=None,
     ) -> jax.Array:
+        """ln=(scale, bias): fuse the preceding LayerNorm into the packed
+        QKV projection via the ln_matmul Pallas kernel (x is then the
+        UN-normalized residual stream; self-attention only)."""
         del deterministic  # attn dropout is 0 in all reference configs
         d = x.shape[-1]
         kernel = self.param(
@@ -104,7 +108,13 @@ class MultiheadAttention(nn.Module):
         bias = bias.astype(self.dtype)
         xc = x.astype(self.dtype)
 
-        if kv is None:
+        if ln is not None:
+            assert kv is None, "fused LN->QKV is a self-attention path"
+            from cosmos_tpu.ops.ln_matmul import ln_matmul
+
+            qkv = ln_matmul(xc, ln[0], ln[1], kernel, bias)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif kv is None:
             qkv = xc @ kernel + bias  # one MXU matmul for self-attention
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:

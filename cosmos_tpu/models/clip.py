@@ -52,6 +52,7 @@ class CLIP(nn.Module):
     remat: bool = False
     use_flash: bool = False
     act_approx: bool = False   # tanh GELU (faster; tiny numeric deviation)
+    fuse_ln: bool = False      # fused LN->matmul Pallas path in the blocks
 
     def setup(self):
         c = self.cfg
@@ -100,6 +101,7 @@ class CLIP(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             use_flash=self.use_flash,
+            fuse_ln=self.fuse_ln,
             name="visual",
         )
         self._setup_text(act)
@@ -136,6 +138,7 @@ class CLIP(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             use_flash=self.use_flash,
+            fuse_ln=self.fuse_ln,
             name="text",
         )
         self._setup_tail()

@@ -52,6 +52,7 @@ def create_model(
     grad_checkpointing: bool = False,
     use_flash: bool = False,
     act_approx: bool = False,
+    fuse_ln: bool = False,
     force_quick_gelu: bool = False,
     force_patch_dropout: Optional[float] = None,
     force_image_size: Optional[int] = None,
@@ -86,6 +87,7 @@ def create_model(
             remat=grad_checkpointing,
             use_flash=use_flash,
             act_approx=act_approx,
+            fuse_ln=fuse_ln,
         )
     params = None
     if init_params:

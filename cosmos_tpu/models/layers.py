@@ -56,6 +56,36 @@ class LayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+class LayerNormParams(nn.Module):
+    """Declares LN scale/bias at this scope WITHOUT applying them — used by
+    the fused LN->matmul path (cosmos_tpu.ops.ln_matmul), which consumes the
+    raw params.  Same param tree layout as LayerNorm."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return scale, bias
+
+
+class DenseParams(nn.Module):
+    """Declares a Dense kernel/bias (nn.Dense-compatible init and layout)
+    without applying — for fused ops that consume the raw params."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 def quick_gelu(x: jax.Array) -> jax.Array:
     """x * sigmoid(1.702 * x) — the OpenAI CLIP activation."""
     return x * jax.nn.sigmoid(1.702 * x)
@@ -108,8 +138,18 @@ class Mlp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_fc")(x)
+    def __call__(self, x: jax.Array, ln=None) -> jax.Array:
+        """ln=(scale, bias): fuse the preceding LayerNorm into c_fc via the
+        ln_matmul Pallas kernel (x is then the UN-normalized input)."""
+        if ln is not None:
+            from cosmos_tpu.ops.ln_matmul import ln_matmul
+
+            kernel, bias = DenseParams(self.hidden_dim, name="c_fc")(
+                x.shape[-1]
+            )
+            x = ln_matmul(x, ln[0], ln[1], kernel.astype(self.dtype), bias)
+        else:
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_fc")(x)
         x = self.act_fn(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="c_proj")(x)
         return x

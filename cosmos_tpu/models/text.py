@@ -54,6 +54,7 @@ class TextTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    fuse_ln: bool = False
 
     def setup(self):
         num_pos = self.context_length + (1 if self.embed_cls else 0)
@@ -86,6 +87,7 @@ class TextTransformer(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             use_flash=self.use_flash,
+            fuse_ln=self.fuse_ln,
         )
         self.ln_final = LayerNorm(name="ln_final")
         if self.proj_bias:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .attention import MultiheadAttention
-from .layers import LayerNorm, LayerScale, Mlp, gelu
+from .layers import LayerNorm, LayerNormParams, LayerScale, Mlp, gelu
 
 Dtype = Any
 
@@ -33,6 +33,10 @@ class ResidualAttentionBlock(nn.Module):
     is_cross_attention: bool = False
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    # fuse each pre-LN into the following matmul (ln_1 -> packed QKV,
+    # ln_2 -> c_fc) via the ln_matmul Pallas kernel: the normalized
+    # activation never round-trips HBM.  Param tree is unchanged.
+    fuse_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -44,27 +48,38 @@ class ResidualAttentionBlock(nn.Module):
         causal: bool = False,
     ) -> jax.Array:
         d = x.shape[-1]
-        attn_in = LayerNorm(name="ln_1")(x)
-        attn_kv = None
-        if self.is_cross_attention and kv is not None:
-            attn_kv = LayerNorm(name="ln_1_kv")(kv)
-        h = MultiheadAttention(
+        fuse = self.fuse_ln and kv is None and not self.is_cross_attention
+        attn = MultiheadAttention(
             num_heads=self.num_heads,
             dtype=self.dtype,
             use_flash=self.use_flash,
             name="attn",
-        )(attn_in, kv=attn_kv, mask=mask, csa=csa, causal=causal)
+        )
+        if fuse:
+            ln1 = LayerNormParams(name="ln_1")(d)
+            h = attn(x, mask=mask, csa=csa, causal=causal, ln=ln1)
+        else:
+            attn_in = LayerNorm(name="ln_1")(x)
+            attn_kv = None
+            if self.is_cross_attention and kv is not None:
+                attn_kv = LayerNorm(name="ln_1_kv")(kv)
+            h = attn(attn_in, kv=attn_kv, mask=mask, csa=csa, causal=causal)
         if self.ls_init_value is not None:
             h = LayerScale(init_value=self.ls_init_value, name="ls_1")(h)
         x = x + h
 
-        h = Mlp(
+        mlp = Mlp(
             hidden_dim=int(d * self.mlp_ratio),
             out_dim=d,
             act_fn=self.act_fn,
             dtype=self.dtype,
             name="mlp",
-        )(LayerNorm(name="ln_2")(x))
+        )
+        if fuse:
+            ln2 = LayerNormParams(name="ln_2")(d)
+            h = mlp(x, ln=ln2)
+        else:
+            h = mlp(LayerNorm(name="ln_2")(x))
         if self.ls_init_value is not None:
             h = LayerScale(init_value=self.ls_init_value, name="ls_2")(h)
         return x + h
@@ -80,6 +95,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    fuse_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -103,6 +119,7 @@ class Transformer(nn.Module):
                 act_fn=self.act_fn,
                 dtype=self.dtype,
                 use_flash=self.use_flash,
+                fuse_ln=self.fuse_ln,
                 name=f"resblocks_{i}",
             )
             is_last = i == self.layers - 1

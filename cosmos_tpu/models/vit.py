@@ -134,6 +134,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    fuse_ln: bool = False
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -197,6 +198,7 @@ class VisionTransformer(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             use_flash=self.use_flash,
+            fuse_ln=self.fuse_ln,
         )
         self.ln_post = LayerNorm(name="ln_post")
         if self.no_proj:

@@ -3,15 +3,23 @@
 Replaces the reference's F.scaled_dot_product_attention / MultiheadAttention
 CUDA kernels (/root/reference/src/open_clip/transformer.py:158-163, :247)
 on TPU.  CLIP sequences are short (197 image patches, 77 text tokens, 37
-local-crop patches), so unlike paged flash attention the ENTIRE sequence
-of one (batch, head) pair fits in VMEM: each grid program computes
-softmax(q kᵀ·s) v fully on-chip — the [L, L] probability matrix never
-touches HBM (XLA's unfused path materializes it per layer).  The backward
-pass recomputes the probabilities in VMEM (flash-style) and emits
-dq/dk/dv in one fused kernel.
+local-crop patches), so the ENTIRE sequence of a (batch, head) pair fits
+in VMEM: the [L, L] probability matrix never touches HBM.  Step-time
+ablations (tools/ablate_bench.py) showed XLA's unfused path spending ~42%
+of the CC3M train step inside logits+softmax+weighted-sum alone, so this
+is the single hottest op in the framework.
 
-Sequences are padded to sublane multiples; padded KEY positions are
-masked with -inf so results are exact for any length.
+Performance-critical choices (vs the naive first version):
+  - matmul INPUTS stay in the compute dtype (bf16 in training) with
+    ``preferred_element_type=f32`` — casting q/k/v to f32 first quarters
+    the MXU rate;
+  - each grid program processes G (batch*head) pairs as one batched
+    dot_general, amortizing pipeline overhead over 2*G matmuls;
+  - NO host-side padding: odd sequence lengths (197/77/37) ride Mosaic's
+    transparent VMEM block padding, so q/k/v are never copied in HBM.
+
+The backward recomputes probabilities in VMEM (flash-style) and emits
+dq/dk/dv from one fused kernel.
 """
 
 from __future__ import annotations
@@ -22,80 +30,93 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
 
-def _pad_len(l: int, multiple: int = 16) -> int:
-    """Pad sequence to the bf16 sublane multiple (16) — NOT 128: the lane
-    dim is Dh and over-padding L to 128 cost 2-3.5x HBM on the short CLIP
-    sequences (37/77/197 tokens)."""
-    return ((l + multiple - 1) // multiple) * multiple
+def _pick_group(bh: int) -> int:
+    for g in (8, 4, 2, 1):
+        if bh % g == 0:
+            return g
+    return 1
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, causal):
-    q = q_ref[0].astype(jnp.float32)              # [Lq, Dh]
-    k = k_ref[0].astype(jnp.float32)              # [Lk, Dh]
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                      # [Lq, Lk]
-    lq, lk = s.shape
+def _causal_mask(lq, lk):
     col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
-    mask = col >= kv_len                           # padded keys
+    row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+    return (col > row)[None]  # broadcast over the group dim
+
+
+_BATCH_DN = (((2,), (2,)), ((0,), (0,)))   # [G,M,K]x[G,N,K] -> [G,M,N]
+_PV_DN = (((2,), (1,)), ((0,), (0,)))      # [G,M,K]x[G,K,N] -> [G,M,N]
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal):
+    q = q_ref[:]                                  # [G, Lq, Dh] compute dtype
+    k = k_ref[:]
+    v = v_ref[:]
+    s = jax.lax.dot_general(
+        q, k, _BATCH_DN, preferred_element_type=jnp.float32
+    ) * scale                                      # [G, Lq, Lk] f32
+    g, lq, lk = s.shape
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
-        mask = jnp.logical_or(mask, col > row)
-    s = jnp.where(mask, NEG_INF, s)
-    p = jax.nn.softmax(s, axis=-1)
+        s = jnp.where(_causal_mask(lq, lk), NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, v, _PV_DN, preferred_element_type=jnp.float32
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[:] = o.astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale, kv_len, causal):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+                     *, scale, causal):
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    do = do_ref[:]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, _BATCH_DN, preferred_element_type=jnp.float32
     ) * scale
-    lq, lk = s.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
-    mask = col >= kv_len
+    g, lq, lk = s.shape
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
-        mask = jnp.logical_or(mask, col > row)
-    s = jnp.where(mask, NEG_INF, s)
-    p = jax.nn.softmax(s, axis=-1)                 # [Lq, Lk]
+        mask = _causal_mask(lq, lk)
+        s = jnp.where(mask, NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)                 # [G, Lq, Lk] f32
+    pc = p.astype(v.dtype)
+    # dv[G, Lk, Dh] = p^T do : contract Lq
     dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )                                              # [Lk, Dh]
+        pc, do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    # dp[G, Lq, Lk] = do v^T : contract Dh
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                              # [Lq, Lk]
+        do, v, _BATCH_DN, preferred_element_type=jnp.float32
+    )
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = jnp.where(mask, 0.0, ds) * scale
+    if causal:
+        ds = jnp.where(mask, 0.0, ds)
+    ds = ds * scale
+    dsc = ds.astype(q.dtype)
+    # dq[G, Lq, Dh] = ds k : contract Lk
     dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dsc, k, _PV_DN, preferred_element_type=jnp.float32
     )
+    # dk[G, Lk, Dh] = ds^T q : contract Lq
     dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        dsc, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv
 
 
-def _specs(lq, lk, dh):
-    def im(i):
-        return (i, 0, 0)
-
-    q_spec = pl.BlockSpec((1, lq, dh), im)
-    k_spec = pl.BlockSpec((1, lk, dh), im)
+def _specs(g, lq, lk, dh):
+    q_spec = pl.BlockSpec((g, lq, dh), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((g, lk, dh), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     return q_spec, k_spec
 
 
@@ -121,59 +142,51 @@ def _flash_fwd(q, k, v, causal, interpret):
     b, h, lq, dh = q.shape
     lk = k.shape[2]
     scale = dh ** -0.5
-    lq_p, lk_p = _pad_len(lq), _pad_len(lk)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_p - lk), (0, 0)))
     bh = b * h
-    qp = qp.reshape(bh, lq_p, dh)
-    kp = kp.reshape(bh, lk_p, dh)
-    vp = vp.reshape(bh, lk_p, dh)
-    q_spec, k_spec = _specs(lq_p, lk_p, dh)
+    g = _pick_group(bh)
+    # NO host-side padding: Mosaic pads the VMEM blocks transparently for
+    # the odd sequence lengths (197/77/37), so q/k/v never get copied
+    qp = q.reshape(bh, lq, dh)
+    kp = k.reshape(bh, lk, dh)
+    vp = v.reshape(bh, lk, dh)
+    q_spec, k_spec = _specs(g, lq, lk, dh)
     out = pl.pallas_call(
-        functools.partial(
-            _attn_fwd_kernel, scale=scale, kv_len=lk, causal=causal
-        ),
-        grid=(bh,),
+        functools.partial(_attn_fwd_kernel, scale=scale, causal=causal),
+        grid=(bh // g,),
         in_specs=[q_spec, k_spec, k_spec],
         out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, lq_p, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
         interpret=_resolve_interpret(interpret),
     )(qp, kp, vp)
-    out = out.reshape(b, h, lq_p, dh)[:, :, :lq]
-    return out, (q, k, v)
+    return out.reshape(b, h, lq, dh), (q, k, v)
 
 
-def _flash_bwd(causal, interpret, res, g):
+def _flash_bwd(causal, interpret, res, g_out):
     q, k, v = res
     b, h, lq, dh = q.shape
     lk = k.shape[2]
     scale = dh ** -0.5
-    lq_p, lk_p = _pad_len(lq), _pad_len(lk)
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0))).reshape(-1, lq_p, dh)
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lk_p - lk), (0, 0))).reshape(-1, lk_p, dh)
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lk_p - lk), (0, 0))).reshape(-1, lk_p, dh)
-    gp = jnp.pad(g, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0))).reshape(-1, lq_p, dh)
     bh = b * h
-    q_spec, k_spec = _specs(lq_p, lk_p, dh)
+    grp = _pick_group(bh)
+    qp = q.reshape(bh, lq, dh)
+    kp = k.reshape(bh, lk, dh)
+    vp = v.reshape(bh, lk, dh)
+    gp = g_out.reshape(bh, lq, dh)
+    q_spec, k_spec = _specs(grp, lq, lk, dh)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(
-            _attn_bwd_kernel, scale=scale, kv_len=lk, causal=causal
-        ),
-        grid=(bh,),
+        functools.partial(_attn_bwd_kernel, scale=scale, causal=causal),
+        grid=(bh // grp,),
         in_specs=[q_spec, k_spec, k_spec, q_spec],
         out_specs=(q_spec, k_spec, k_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, lq_p, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, lk_p, dh), k.dtype),
-            jax.ShapeDtypeStruct((bh, lk_p, dh), v.dtype),
+            jax.ShapeDtypeStruct((bh, lq, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, lk, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk, dh), v.dtype),
         ),
         interpret=_resolve_interpret(interpret),
     )(qp, kp, vp, gp)
-    dq = dq.reshape(b, h, lq_p, dh)[:, :, :lq]
-    dk = dk.reshape(b, h, lk_p, dh)[:, :, :lk]
-    dv = dv.reshape(b, h, lk_p, dh)[:, :, :lk]
-    return dq, dk, dv
+    return (dq.reshape(b, h, lq, dh), dk.reshape(b, h, lk, dh),
+            dv.reshape(b, h, lk, dh))
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -15,7 +15,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_step():
+def build_step(**model_kwargs):
     import jax.numpy as jnp
 
     from cosmos_tpu.models.factory import create_model
@@ -34,6 +34,7 @@ def build_step():
     model, params = create_model(
         "ViT-B-16", precision="bf16", cosmos=True, output_all=True,
         attentional_pool=True, add_zero_attn=True, act_approx=True,
+        **model_kwargs,
     )
     lr = cosine_lr(5e-4, 2000, 100000)
     optimizer = create_optimizer(lr, beta1=0.9, beta2=0.98, eps=1e-8,
@@ -44,7 +45,7 @@ def build_step():
     )
     step_fn = make_train_step(model, optimizer, mesh, cfg)
     state = create_train_state(params, optimizer)
-    b = 64 * n_dev
+    b = int(os.environ.get("BENCH_BATCH", "64")) * n_dev
     rng = np.random.default_rng(0)
     batch = {
         "global_images": rng.normal(size=(2, b, 224, 224, 3)).astype(np.float32),
@@ -136,8 +137,17 @@ def main():
     variants = sys.argv[1:] or ["baseline"]
     assert len(variants) == 1, "one variant per process (import patching)"
     name = variants[0]
-    apply_variant(name)
-    step_fn, state, batch, b, n_dev = build_step()
+    model_kwargs = {}
+    feature = {"flash": {"use_flash": True},
+               "fuseln": {"fuse_ln": True},
+               "remat": {"grad_checkpointing": True},
+               "remat+flash": {"grad_checkpointing": True, "use_flash": True},
+               "flash+fuseln": {"use_flash": True, "fuse_ln": True}}
+    if name in feature:
+        model_kwargs = feature[name]
+    else:
+        apply_variant(name)
+    step_fn, state, batch, b, n_dev = build_step(**model_kwargs)
     t0 = time.perf_counter()
     for _ in range(3):
         state, metrics = step_fn(state, batch)
