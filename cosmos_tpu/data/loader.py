@@ -223,7 +223,15 @@ def _collate(buf, cfg: WdsTrainConfig) -> Dict[str, np.ndarray]:
 
 
 class WdsTrainLoader:
-    """Infinite batch iterator over tar shards with worker processes."""
+    """Infinite batch iterator over tar shards with worker processes.
+
+    Documented divergence from the reference's detshuffle2 epoch handling
+    (data.py:342-371): workers self-increment their epoch when a shard
+    pass ends and drain ``set_epoch`` only between epochs, so a MID-epoch
+    resume reproduces the shard set but not the exact intra-epoch sample
+    order.  Epoch-boundary resumes (the reference's checkpoint cadence,
+    --save-frequency in epochs) are order-exact.
+    """
 
     def __init__(self, cfg: WdsTrainConfig, start_epoch: int = 0,
                  prefetch: int = 4):

@@ -163,8 +163,9 @@ class ShardedShardList:
             # (seed, epoch, worker) — ResampledShards2 semantics
             rng = random.Random(hash((self.seed, epoch, self.process_index,
                                        self.worker_index)))
-            n = max(1, len(self._split(self.urls)))
-            for _ in range(len(self.urls) // (self.process_count * self.worker_count) or 1):
+            # each worker draws its per-epoch share of the shard budget
+            n = max(1, len(self.urls) // (self.process_count * self.worker_count))
+            for _ in range(n):
                 yield rng.choices(self.urls, weights=self.weights, k=1)[0]
             return
         shards = list(self.urls)
