@@ -29,6 +29,10 @@ from .layers import LayerNorm
 
 Dtype = Any
 
+# experiment toggle (tools/ablate_bench.py): route non-CSA, non-flash
+# attention through the [B, L, H, Dh] layout (no head transposes)
+BLHD_LAYOUT = False
+
 
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     # [B, L, D] -> [B, H, L, Dh]
@@ -65,6 +69,24 @@ def dot_product_attention(
     # internally, but the hint forces an f32 OUTPUT tensor — measured
     # ~70ms/step of pure HBM traffic on v5e
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+
+
+def dot_product_attention_blhd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Same math with [B, L, H, Dh] operands: the head axis never moves to
+    a major position, so q/k/v/out keep the packed [B, L, D] HBM layout
+    (reshape-only head split; no transposed, lane-padded copies)."""
+    dh = q.shape[-1]
+    scale = dh ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
 
 
 class MultiheadAttention(nn.Module):
@@ -134,6 +156,19 @@ class MultiheadAttention(nn.Module):
         qh = _split_heads(q, self.num_heads)
         kh = _split_heads(k, self.num_heads)
         vh = _split_heads(v, self.num_heads)
+
+        if (
+            BLHD_LAYOUT
+            and not csa
+            and not (self.use_flash and kv is None and (mask is None or causal))
+        ):
+            b_, lq_ = q.shape[0], q.shape[1]
+            qh = q.reshape(b_, lq_, self.num_heads, -1)
+            kh = k.reshape(b_, k.shape[1], self.num_heads, -1)
+            vh = v.reshape(b_, v.shape[1], self.num_heads, -1)
+            out = dot_product_attention_blhd(qh, kh, vh, mask=mask)
+            out = out.reshape(b_, lq_, -1)
+            return nn.Dense(x.shape[-1], dtype=self.dtype, name="out_proj")(out)
 
         if csa:
             # SCLIP correlative self-attention (transformer.py:745-748):

@@ -112,6 +112,15 @@ def get_act_fn(name: str) -> Callable[[jax.Array], jax.Array]:
     raise ValueError(f"unknown activation: {name}")
 
 
+def act_name(fn: Callable) -> str:
+    """Inverse of get_act_fn (fused kernels need the static name)."""
+    for name, f in (("gelu", gelu), ("gelu_tanh", gelu_tanh),
+                    ("quick_gelu", quick_gelu)):
+        if fn is f:
+            return name
+    raise ValueError(f"unregistered activation fn: {fn}")
+
+
 class LayerScale(nn.Module):
     """Per-channel learnable gain (transformer.py:39-46)."""
 
@@ -139,17 +148,19 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, ln=None) -> jax.Array:
-        """ln=(scale, bias): fuse the preceding LayerNorm into c_fc via the
-        ln_matmul Pallas kernel (x is then the UN-normalized input)."""
+        """ln=(scale, bias): run the whole LN -> c_fc -> act -> c_proj
+        chain as ONE fused kernel (ops.mlp_block) — x is then the
+        UN-normalized input and the [R, hidden] activation never exists
+        in HBM."""
         if ln is not None:
-            from cosmos_tpu.ops.ln_matmul import ln_matmul
+            from cosmos_tpu.ops.mlp_block import mlp_block
 
-            kernel, bias = DenseParams(self.hidden_dim, name="c_fc")(
-                x.shape[-1]
+            k1, b1 = DenseParams(self.hidden_dim, name="c_fc")(x.shape[-1])
+            k2, b2 = DenseParams(self.out_dim, name="c_proj")(self.hidden_dim)
+            return mlp_block(
+                x, ln[0], ln[1], k1, b1, k2, b2, 1e-5, act_name(self.act_fn)
             )
-            x = ln_matmul(x, ln[0], ln[1], kernel.astype(self.dtype), bias)
-        else:
-            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_fc")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="c_fc")(x)
         x = self.act_fn(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="c_proj")(x)
         return x

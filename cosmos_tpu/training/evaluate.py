@@ -102,6 +102,25 @@ def make_encoders(model, params, mesh=None):
         _ENCODER_CACHE[cache_key] = (enc_image, enc_text_norm, enc_text_raw)
 
     enc_image, enc_text_norm, enc_text_raw = _ENCODER_CACHE[cache_key]
+
+    if mesh is not None and mesh.devices.size > 1:
+        # explicit placement: jit with non-trivial in_shardings refuses raw
+        # numpy operands in multi-process runs (even on a host-local mesh),
+        # so batches and params are device_put against the mesh first
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cosmos_tpu.parallel.mesh import DATA_AXIS
+
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+        def _wrap(fn):
+            def call(x):
+                return fn(params, jax.device_put(jnp.asarray(x), batch_sh))
+            return call
+
+        return (_wrap(enc_image), _wrap(enc_text_norm), _wrap(enc_text_raw))
+
     return (
         functools.partial(enc_image, params),
         functools.partial(enc_text_norm, params),

@@ -85,3 +85,40 @@ def test_fused_model_matches_unfused_model():
         np.asarray(out_a["text_features"]),
         np.asarray(out_b["text_features"]), atol=2e-5, rtol=2e-5,
     )
+
+
+def test_mlp_block_matches_unfused():
+    """Fused LN->c_fc->act->c_proj kernel: fwd + all grads match the
+    composed reference ops."""
+    from cosmos_tpu.ops.mlp_block import mlp_block
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(24, 128)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(128,)) + 1.0, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(128, 256)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(256,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(256, 128)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+
+    def ref(x, g, b, w1, b1, w2, b2):
+        y = _unfused(x, g, b, w1, b1)
+        y = jax.nn.gelu(y, approximate=False)
+        return jnp.dot(y, w2, preferred_element_type=jnp.float32) + b2
+
+    got = mlp_block(x, g, b, w1, b1, w2, b2, 1e-5, "gelu", True)
+    want = ref(x, g, b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_fused(*args):
+        return jnp.sum(jnp.sin(mlp_block(*args, 1e-5, "gelu", True)))
+
+    def loss_ref(*args):
+        return jnp.sum(jnp.sin(ref(*args)))
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(x, g, b, w1, b1, w2, b2)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(x, g, b, w1, b1, w2, b2)
+    for a_, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=5e-4, rtol=5e-4)

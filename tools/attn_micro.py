@@ -58,8 +58,18 @@ def bf16_softmax(q, k, v):
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
+def jnn_attn(q, k, v):
+    # jax.nn.dot_product_attention expects [B, L, H, Dh]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = jax.nn.dot_product_attention(qt, kt, vt)
+    return out.transpose(0, 2, 1, 3)
+
+
 FNS = {
     "xla": xla_attn,
+    "jnn": jnn_attn,
     "xla_blhd": xla_attn_nohead_transpose,
     "flash": flash,
     "bf16sm": bf16_softmax,
