@@ -149,6 +149,16 @@ def main(argv=None) -> Dict:
 
     image_size = model.cfg.vision_cfg.image_size
 
+    if args.trace:
+        # AOT serving export (reference --trace, model.py:639-654)
+        from cosmos_tpu.models.trace import save_traced, trace_model
+
+        artifacts = trace_model(model, params, batch_size=args.batch_size)
+        trace_dir = args.trace_path or os.path.join(log_dir, "traced")
+        if is_master:
+            save_traced(artifacts, trace_dir)
+        logger.info(f"traced encoders -> {trace_dir}")
+
     # --- data ------------------------------------------------------------
     data = get_data(
         args,

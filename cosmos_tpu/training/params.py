@@ -102,6 +102,10 @@ def parse_args(args=None):
     add("--force-patch-dropout", type=float, default=None)
     add("--force-image-size", type=int, default=None)
     add("--use-flash-attention", action="store_true", default=False)
+    add("--trace", action="store_true", default=False,
+        help="AOT-export the jitted encoders to StableHLO for serving "
+             "(reference --trace / torch.jit.trace, params.py:350-353)")
+    add("--trace-path", type=str, default=None)
     add("--gelu-approx", action="store_true", default=False,
         help="tanh-approximated GELU (~23%% faster step on v5e; "
              "negligible numeric deviation — for from-scratch training)")
