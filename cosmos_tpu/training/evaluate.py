@@ -154,13 +154,14 @@ def evaluate_model(
     image_size: int = 224,
     mesh=None,
     zero_shot: bool = True,
+    retrieval: bool = True,
 ) -> Dict[str, float]:
     """Run every eval the data dict carries for one set of weights."""
     enc_image, enc_text_norm, enc_text_raw = make_encoders(model, params, mesh)
     metrics: Dict[str, float] = {}
 
     for name in ("coco-retrieval", "flickr-retrieval"):
-        if name in data:
+        if retrieval and name in data:
             rd: RetrievalData = data[name]
             img_loader = MapDatasetLoader(
                 RetrievalImageDataset(rd, image_size), batch_size
@@ -221,8 +222,10 @@ def evaluate(
     # zero-shot classification runs at its own cadence (--zeroshot-frequency,
     # reference zero_shot.py:48-51), retrieval/val-loss at --val-frequency
     zs_freq = getattr(args, "zeroshot_frequency", 1)
+    rt_freq = getattr(args, "retrieval_frequency", 1)
     epochs = getattr(args, "epochs", epoch)
     zero_shot = bool(zs_freq) and (epoch % zs_freq == 0 or epoch == epochs)
+    retrieval = bool(rt_freq) and (epoch % rt_freq == 0 or epoch == epochs)
     student_params = host_local_params(state.params)
     if "val" in data:
         metrics.update(
@@ -232,7 +235,7 @@ def evaluate(
         evaluate_model(
             model, student_params, tokenizer, data,
             prefix="", batch_size=args.batch_size, mesh=mesh,
-            zero_shot=zero_shot,
+            zero_shot=zero_shot, retrieval=retrieval,
         )
     )
     if getattr(args, "eval_teacher", True) and state.teacher_params is not None:
@@ -240,7 +243,7 @@ def evaluate(
             evaluate_model(
                 model, host_local_params(state.teacher_params), tokenizer,
                 data, prefix="ema_", batch_size=args.batch_size, mesh=mesh,
-                zero_shot=zero_shot,
+                zero_shot=zero_shot, retrieval=retrieval,
             )
         )
     if getattr(args, "checkpoint_path", None):

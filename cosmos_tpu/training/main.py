@@ -216,6 +216,7 @@ def main(argv=None) -> Dict:
         grad_clip_norm=args.grad_clip_norm,
         lock_image=args.lock_image,
         lock_text=args.lock_text,
+        lock_image_unlocked_groups=args.lock_image_unlocked_groups,
     )
     momentum_schedule = cosine_scheduler(
         args.momentum_teacher, 1.0, 0, total_steps

@@ -61,13 +61,33 @@ def wd_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(keep, params)
 
 
-def frozen_mask(params, lock_image: bool = False, lock_text: bool = False):
-    """True where updates must be ZEROED (LiT locking, main.py:321-335:
-    lock_image_tower / lock_text freeze whole towers)."""
+def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
+                unlocked_groups: int = 0):
+    """True where updates must be ZEROED (LiT locking, main.py:321-335).
+
+    ``unlocked_groups`` > 0 keeps the LAST n image-tower groups trainable
+    (reference VisionTransformer.lock semantics: groups are the final
+    norm/proj, then resblocks from the end — transformer.py lock path)."""
+    unlocked_layers = set()
+    head_unlocked = False
+    if lock_image and unlocked_groups > 0:
+        n_layers = len([
+            k for k in params.get("visual", {}).get("transformer", {})
+            if k.startswith("resblocks_")
+        ])
+        # group 1 = ln_post + proj (the head); groups 2.. = blocks from the end
+        head_unlocked = True
+        for i in range(unlocked_groups - 1):
+            unlocked_layers.add(f"resblocks_{n_layers - 1 - i}")
 
     def mark(path, leaf):
-        top = path[0].key if path and hasattr(path[0], "key") else ""
+        names = [p.key for p in path if hasattr(p, "key")]
+        top = names[0] if names else ""
         if lock_image and top == "visual":
+            if head_unlocked and any(n in ("ln_post", "proj") for n in names):
+                return False
+            if any(n in unlocked_layers for n in names):
+                return False
             return True
         if lock_text and top == "text":
             return True
@@ -86,6 +106,7 @@ def create_optimizer(
     grad_clip_norm: Optional[float] = None,
     lock_image: bool = False,
     lock_text: bool = False,
+    lock_image_unlocked_groups: int = 0,
 ) -> optax.GradientTransformation:
     txs = []
     if grad_clip_norm is not None:
@@ -104,7 +125,10 @@ def create_optimizer(
         txs.append(
             optax.masked(
                 optax.set_to_zero(),
-                lambda params: frozen_mask(params, lock_image, lock_text),
+                lambda params: frozen_mask(
+                    params, lock_image, lock_text,
+                    lock_image_unlocked_groups,
+                ),
             )
         )
     return optax.chain(*txs)

@@ -253,3 +253,27 @@ def test_siglip_mode_step():
     state = create_train_state(params, opt)
     state, m = step(state, make_batch(jax.random.PRNGKey(0), b=8, k=1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_lock_image_unlocked_groups():
+    """--lock-image-unlocked-groups keeps the head + last blocks trainable
+    (reference VisionTransformer.lock semantics)."""
+    from cosmos_tpu.training.train import frozen_mask
+
+    model, params = create_model("ViT-B-16", **TINY)
+    mask = frozen_mask(params, lock_image=True, unlocked_groups=2)
+    # head (ln_post/proj) and the LAST block stay trainable
+    assert mask["visual"]["proj"] is False
+    assert mask["visual"]["ln_post"]["scale"] is False
+    assert all(
+        v is False
+        for v in jax.tree.leaves(mask["visual"]["transformer"]["resblocks_1"])
+    )
+    # earlier blocks + embeddings frozen
+    assert all(
+        v is True
+        for v in jax.tree.leaves(mask["visual"]["transformer"]["resblocks_0"])
+    )
+    assert mask["visual"]["conv1_kernel"] is True
+    # text untouched
+    assert all(v is False for v in jax.tree.leaves(mask["text"]))
