@@ -11,10 +11,14 @@ Functional parity targets (/root/reference/src/open_clip/transformer.py):
     (transformer.py:731-764), used by segmentation eval on the last block.
 
 TPU notes: the packed projection is a single MXU matmul; softmax runs in
-float32 on the VPU.  For the short CLIP sequences (<=197 tokens) the whole
-attention fits in VMEM after XLA fusion; a Pallas fused kernel
-(cosmos_tpu.ops.flash_attention) is used when ``use_flash`` is set and the
-shapes merit it.
+float32 on the VPU.  On TPU backends self-attention routes through the
+packed-QKV Pallas kernel (cosmos_tpu.ops.fused_attention) BY DEFAULT
+(``use_flash=None`` tri-state): it consumes the projection's row-major
+[B, L, 3D] output directly, so no head-split transpose or layout-poisoned
+projection matmul ever exists (a measured 162->220 img/s/chip full-step
+win on v5e).  ``use_flash=False`` forces the XLA einsum path (CPU default);
+``use_flash=True`` forces the kernel.  CSA, cross-attention, add_zero_attn
+and non-causal-masked paths always use the XLA formulation.
 """
 
 from __future__ import annotations
@@ -32,6 +36,14 @@ Dtype = Any
 # experiment toggle (tools/ablate_bench.py): route non-CSA, non-flash
 # attention through the [B, L, H, Dh] layout (no head transposes)
 BLHD_LAYOUT = False
+
+
+def resolve_fused(flag: Optional[bool]) -> bool:
+    """use_flash tri-state: None = auto (on for TPU backends, off on CPU,
+    where the XLA path is both exact and fastest to compile)."""
+    if flag is not None:
+        return flag
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
@@ -101,7 +113,7 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     add_zero_attn: bool = False
     dtype: Dtype = jnp.float32
-    use_flash: bool = False
+    use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
 
     @nn.compact
     def __call__(
@@ -130,14 +142,47 @@ class MultiheadAttention(nn.Module):
         bias = bias.astype(self.dtype)
         xc = x.astype(self.dtype)
 
+        fused = (
+            resolve_fused(self.use_flash)
+            and kv is None
+            and not csa
+            and not self.add_zero_attn
+            and (mask is None or causal)
+        )
+        if fused:
+            from cosmos_tpu.ops.fused_attention import (
+                fused_attention_qkv,
+                supported,
+            )
+
+            fused = supported(self.num_heads, d)
+
         if ln is not None:
             assert kv is None, "fused LN->QKV is a self-attention path"
             from cosmos_tpu.ops.ln_matmul import ln_matmul
 
             qkv = ln_matmul(xc, ln[0], ln[1], kernel, bias)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
         elif kv is None:
             qkv = xc @ kernel + bias  # one MXU matmul for self-attention
+        else:
+            qkv = None
+
+        if fused:
+            # packed path: no head split/merge transposes ever exist — the
+            # kernel reads each head as a 64-lane slice of the row-major
+            # [B, L, 3D] projection output (see ops/fused_attention.py)
+            out = fused_attention_qkv(qkv, self.num_heads, causal)
+            return nn.Dense(x.shape[-1], dtype=self.dtype, name="out_proj")(out)
+
+        if causal and mask is None:
+            # caller elided the additive mask expecting the fused kernel's
+            # in-kernel causal structure; rebuild it for the XLA fallback
+            l_ = x.shape[1]
+            col = jax.lax.broadcasted_iota(jnp.int32, (l_, l_), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (l_, l_), 0)
+            mask = jnp.where(col > row, -1e30, 0.0)
+
+        if qkv is not None:
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             kvc = kv.astype(self.dtype)

@@ -50,7 +50,7 @@ class CLIP(nn.Module):
     cosmos: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
-    use_flash: bool = False
+    use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
     act_approx: bool = False   # tanh GELU (faster; tiny numeric deviation)
     fuse_ln: bool = False      # fused LN->matmul Pallas path in the blocks
 
@@ -260,16 +260,28 @@ class CLIP(nn.Module):
             img_num = img_features.shape[0] // b
             txt_num = txt_features.shape[0] // b
 
-            # kv contexts: first global crop's patch tokens / first global
-            # caption's tokens, tiled views-major (torch .repeat(V,1,1)).
-            txt_ctx = jnp.tile(txt_tokens[:b], (img_num, 1, 1))
-            img_ctx = jnp.tile(img_tokens[:b], (txt_num, 1, 1))
+            # kv context: first global crop's patch tokens / first global
+            # caption's tokens.  The reference tiles the context V× and runs
+            # V*B single-query attentions (torch .repeat(V,1,1),
+            # model.py:366-387); LN and the kv projection commute with that
+            # tile, so grouping the V view-queries of each sample into one
+            # [B, V, D] attention is bit-equivalent math while the kv
+            # LN/projection work and the [V*B, L, D] HBM materialization
+            # shrink by V×.
+            def _pool(pooler, ctx, queries, v):
+                q = queries.reshape(v, b, -1).transpose(1, 0, 2)  # [B, V, D]
+                out = pooler(ctx, q)                              # [B, V, D]
+                return out.transpose(1, 0, 2).reshape(v * b, -1)
 
-            txt_pooled = self.text.attn_cross_pool(txt_ctx, img_features[:, None, :])
-            img_crossmodal = l2_normalize(img_features + txt_pooled[:, 0, :])
+            txt_pooled = _pool(
+                self.text.attn_cross_pool, txt_tokens[:b], img_features, img_num
+            )
+            img_crossmodal = l2_normalize(img_features + txt_pooled)
 
-            img_pooled = self.visual.attn_cross_pool(img_ctx, txt_features[:, None, :])
-            txt_crossmodal = l2_normalize(txt_features + img_pooled[:, 0, :])
+            img_pooled = _pool(
+                self.visual.attn_cross_pool, img_tokens[:b], txt_features, txt_num
+            )
+            txt_crossmodal = l2_normalize(txt_features + img_pooled)
 
             out["img_crossmodal_features"] = img_crossmodal
             out["txt_crossmodal_features"] = txt_crossmodal

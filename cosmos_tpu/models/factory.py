@@ -50,7 +50,7 @@ def create_model(
     attentional_pool: bool = False,
     add_zero_attn: bool = False,
     grad_checkpointing: bool = False,
-    use_flash: bool = False,
+    use_flash: Optional[bool] = None,
     act_approx: bool = False,
     fuse_ln: bool = False,
     force_quick_gelu: bool = False,

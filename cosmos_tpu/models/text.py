@@ -53,7 +53,7 @@ class TextTransformer(nn.Module):
     act_fn: Callable[[jax.Array], jax.Array] = gelu
     dtype: Dtype = jnp.float32
     remat: bool = False
-    use_flash: bool = False
+    use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
     fuse_ln: bool = False
 
     def setup(self):
@@ -118,8 +118,12 @@ class TextTransformer(nn.Module):
 
         # with the flash kernel the causal structure is applied inside the
         # kernel; no additive mask array is materialized
+        from .attention import resolve_fused
+
         flash_causal = (
-            self.use_flash and not self.no_causal_mask and self.cls_emb is None
+            resolve_fused(self.use_flash)
+            and not self.no_causal_mask
+            and self.cls_emb is None
         )
         if self.no_causal_mask or flash_causal:
             mask = None

@@ -32,7 +32,7 @@ class ResidualAttentionBlock(nn.Module):
     act_fn: Callable[[jax.Array], jax.Array] = gelu
     is_cross_attention: bool = False
     dtype: Dtype = jnp.float32
-    use_flash: bool = False
+    use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
     # fuse each pre-LN into the following matmul (ln_1 -> packed QKV,
     # ln_2 -> c_fc) via the ln_matmul Pallas kernel: the normalized
     # activation never round-trips HBM.  Param tree is unchanged.
@@ -94,7 +94,7 @@ class Transformer(nn.Module):
     act_fn: Callable[[jax.Array], jax.Array] = gelu
     dtype: Dtype = jnp.float32
     remat: bool = False
-    use_flash: bool = False
+    use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
     fuse_ln: bool = False
 
     @nn.compact

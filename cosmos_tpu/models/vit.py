@@ -133,7 +133,7 @@ class VisionTransformer(nn.Module):
     act_fn: Callable[[jax.Array], jax.Array] = gelu
     dtype: Dtype = jnp.float32
     remat: bool = False
-    use_flash: bool = False
+    use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
     fuse_ln: bool = False
 
     @property

@@ -1,0 +1,198 @@
+"""Packed-QKV fused attention: the layout-preserving Pallas kernel.
+
+Replaces the reference's F.scaled_dot_product_attention hot loop
+(/root/reference/src/open_clip/transformer.py:158-163) — but designed from
+the TPU profile, not from the CUDA kernel's shape conventions.
+
+Why packed?  A device profile of the CC3M train step (perfetto trace,
+tools/ablate_bench.py config) showed attention costing 207 ms of the 392 ms
+step while its matmul FLOPs justify ~15 ms.  The overhead was NOT the
+softmax math: the [B,L,D]->[B,H,L,Dh] head-split transposes around XLA's
+attention einsums force exotic activation layouts ({2,0,1}-major) that
+propagate INTO the surrounding projection matmuls — the packed QKV
+projection ran at 7 TF/s (20x below peak) and ~55 ms/step of pure `copy`
+ops appeared.  Handing XLA a kernel that consumes the projection's natural
+output — the packed row-major ``[B, L, 3*D]`` tensor — and emits row-major
+``[B, L, D]`` breaks that layout-poisoning chain: every head slice is read
+as a static 64-lane sub-window in VMEM, no HBM transpose ever exists, and
+the projections regain their canonical fast layouts.
+
+Kernel shape rules:
+  - grid over batch blocks only; a block's whole [b, L, 3D] slab sits in
+    VMEM (CLIP sequences are short: L in {197, 77, 37, 196, 50});
+  - unrolled head loop; per head one [b,L,64]x[b,L,64] batched MXU matmul,
+    f32 softmax in VMEM, one PV matmul, result written into the head's
+    64-lane slice of the output block;
+  - backward recomputes probabilities (flash-style) and writes the packed
+    ``d(qkv)`` [B, L, 3D] — handing the in-projection's backward matmuls
+    the same clean layout.
+
+The CSA segmentation variant and the cross-attention poolers keep the XLA
+path (eval-only / tiny).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+# supported head dims (static 64/128-lane slicing); all CLIP-family towers
+# use 64 (width/heads: 768/12, 512/8, 1024/16)
+_OK_DH = (64, 128)
+
+
+def _causal_add(lq: int, lk: int):
+    col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+    return jnp.where(col > row, NEG_INF, 0.0)[None]  # [1, Lq, Lk] f32
+
+
+_QK_DN = (((2,), (2,)), ((0,), (0,)))   # [b,L,Dh]x[b,L,Dh] -> [b,Lq,Lk]
+_PV_DN = (((2,), (1,)), ((0,), (0,)))   # [b,Lq,Lk]x[b,Lk,Dh] -> [b,Lq,Dh]
+_TQ_DN = (((1,), (1,)), ((0,), (0,)))   # contract the Lq axis
+
+
+def _fwd_kernel(qkv_ref, o_ref, *, heads, dh, scale, causal):
+    l = qkv_ref.shape[1]
+    d = heads * dh
+    cmask = _causal_add(l, l) if causal else None
+    for h in range(heads):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, :, d + h * dh:d + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, _QK_DN, preferred_element_type=jnp.float32
+        ) * scale
+        if cmask is not None:
+            s = s + cmask
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jax.lax.dot_general(p, v, _PV_DN,
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, dh, scale, causal):
+    l = qkv_ref.shape[1]
+    d = heads * dh
+    cmask = _causal_add(l, l) if causal else None
+    for h in range(heads):
+        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
+        k = qkv_ref[:, :, d + h * dh:d + (h + 1) * dh]
+        v = qkv_ref[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        do = do_ref[:, :, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, _QK_DN, preferred_element_type=jnp.float32
+        ) * scale
+        if cmask is not None:
+            s = s + cmask
+        p = jax.nn.softmax(s, axis=-1)                    # [b, Lq, Lk] f32
+        pc = p.astype(v.dtype)
+        dv = jax.lax.dot_general(pc, do, _TQ_DN,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, _QK_DN,
+                                 preferred_element_type=jnp.float32)
+        # masked positions have p == 0, so ds == 0 there automatically
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))) * scale
+        dsc = ds.astype(q.dtype)
+        dq = jax.lax.dot_general(dsc, k, _PV_DN,
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsc, q, _TQ_DN,
+                                 preferred_element_type=jnp.float32)
+        dqkv_ref[:, :, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, d + h * dh:d + (h + 1) * dh] = dk.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh] = dv.astype(
+            dqkv_ref.dtype)
+
+
+def _pick_block(batch: int, l: int, d: int, itemsize: int,
+                backward: bool) -> int:
+    """Largest batch block whose VMEM working set stays under budget."""
+    budget = 10 * 1024 * 1024
+    for b in (16, 8, 4, 2, 1):
+        if batch % b:
+            continue
+        slabs = 3 * l * d + l * d            # qkv + out
+        if backward:
+            slabs += 3 * l * d + l * d       # dqkv + do
+        varying = 2 * l * l * 4 + 6 * l * 64 * itemsize  # p/dp f32 + slices
+        if b * (slabs * itemsize + varying) <= budget:
+            return b
+    return 1
+
+
+def supported(num_heads: int, d: int) -> bool:
+    dh = d // num_heads
+    return dh * num_heads == d and dh in _OK_DH
+
+
+def _resolve_interpret(interpret):
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_attention_qkv(
+    qkv: jax.Array,
+    num_heads: int,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """softmax(q kᵀ/√Dh) v over a packed [B, L, 3D] tensor -> [B, L, D].
+
+    Thirds of the last axis are q|k|v; within each, head h occupies lanes
+    [h*Dh, (h+1)*Dh) — exactly torch's in_proj packing (transformer.py:247).
+    """
+    return _fa_fwd(qkv, num_heads, causal, interpret)[0]
+
+
+def _fa_fwd(qkv, num_heads, causal, interpret):
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    blk = _pick_block(b, l, d, qkv.dtype.itemsize, backward=False)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, heads=num_heads, dh=dh,
+                          scale=dh ** -0.5, causal=causal),
+        grid=(b // blk,),
+        in_specs=[pl.BlockSpec((blk, l, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((blk, l, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
+        interpret=_resolve_interpret(interpret),
+    )(qkv)
+    return out, (qkv,)
+
+
+def _fa_bwd(num_heads, causal, interpret, res, g_out):
+    (qkv,) = res
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    blk = _pick_block(b, l, d, qkv.dtype.itemsize, backward=True)
+    spec3 = pl.BlockSpec((blk, l, d3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((blk, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=num_heads, dh=dh,
+                          scale=dh ** -0.5, causal=causal),
+        grid=(b // blk,),
+        in_specs=[spec3, spec1],
+        out_specs=spec3,
+        out_shape=jax.ShapeDtypeStruct((b, l, d3), qkv.dtype),
+        interpret=_resolve_interpret(interpret),
+    )(qkv, g_out)
+    return (dqkv,)
+
+
+fused_attention_qkv.defvjp(_fa_fwd, _fa_bwd)
