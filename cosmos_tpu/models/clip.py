@@ -50,6 +50,7 @@ class CLIP(nn.Module):
     cosmos: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = ""
     use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
     act_approx: bool = False   # tanh GELU (faster; tiny numeric deviation)
     fuse_ln: bool = False      # fused LN->matmul Pallas path in the blocks
@@ -100,6 +101,7 @@ class CLIP(nn.Module):
             act_fn=act,
             dtype=self.dtype,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             use_flash=self.use_flash,
             fuse_ln=self.fuse_ln,
             name="visual",
@@ -137,6 +139,7 @@ class CLIP(nn.Module):
             act_fn=act,
             dtype=self.dtype,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             use_flash=self.use_flash,
             fuse_ln=self.fuse_ln,
             name="text",

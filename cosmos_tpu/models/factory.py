@@ -50,6 +50,7 @@ def create_model(
     attentional_pool: bool = False,
     add_zero_attn: bool = False,
     grad_checkpointing: bool = False,
+    remat_policy: str = "",
     use_flash: Optional[bool] = None,
     act_approx: bool = False,
     fuse_ln: bool = False,
@@ -85,6 +86,7 @@ def create_model(
             cosmos=cosmos,
             dtype=resolve_dtype(precision),
             remat=grad_checkpointing,
+            remat_policy=remat_policy,
             use_flash=use_flash,
             act_approx=act_approx,
             fuse_ln=fuse_ln,

@@ -53,6 +53,7 @@ class TextTransformer(nn.Module):
     act_fn: Callable[[jax.Array], jax.Array] = gelu
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = ""
     use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
     fuse_ln: bool = False
 
@@ -86,6 +87,7 @@ class TextTransformer(nn.Module):
             act_fn=self.act_fn,
             dtype=self.dtype,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             use_flash=self.use_flash,
             fuse_ln=self.fuse_ln,
         )

@@ -94,6 +94,10 @@ class Transformer(nn.Module):
     act_fn: Callable[[jax.Array], jax.Array] = gelu
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # named jax.checkpoint policy for remat ('' = full recompute); e.g.
+    # 'dots_with_no_batch_dims_saveable' keeps matmul outputs and only
+    # recomputes the HBM-cheap elementwise ops between them
+    remat_policy: str = ""
     use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
     fuse_ln: bool = False
 
@@ -107,9 +111,13 @@ class Transformer(nn.Module):
     ) -> jax.Array:
         block_cls = ResidualAttentionBlock
         if self.remat:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy else None
+            )
             block_cls = nn.remat(
                 ResidualAttentionBlock, static_argnums=(4, 5),
-                prevent_cse=False,
+                prevent_cse=False, policy=policy,
             )
         for i in range(self.layers):
             block = block_cls(

@@ -112,10 +112,17 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, dh, scale, causal):
             dqkv_ref.dtype)
 
 
+# v5e VMEM is far larger than Mosaic's default per-kernel limit; raising the
+# limit lets the fwd kernel run batch-block 8 and the bwd block 4 at the CLIP
+# globals shape (trace-measured: fwd 0.377->0.356 ms, bwd 1.098->0.954 ms per
+# [128,197,12x64] call)
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
 def _pick_block(batch: int, l: int, d: int, itemsize: int,
                 backward: bool) -> int:
     """Largest batch block whose VMEM working set stays under budget."""
-    budget = 10 * 1024 * 1024
+    budget = 14 * 1024 * 1024
     for b in (16, 8, 4, 2, 1):
         if batch % b:
             continue
@@ -169,6 +176,7 @@ def _fa_fwd(qkv, num_heads, causal, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
         interpret=_resolve_interpret(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(qkv)
     return out, (qkv,)
 
@@ -191,6 +199,7 @@ def _fa_bwd(num_heads, causal, interpret, res, g_out):
         out_specs=spec3,
         out_shape=jax.ShapeDtypeStruct((b, l, d3), qkv.dtype),
         interpret=_resolve_interpret(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(qkv, g_out)
     return (dqkv,)
 
