@@ -25,6 +25,19 @@ from flax import linen as nn
 Dtype = Any
 
 
+# Toggle for the single-pass Pallas LN kernel (ops/layer_norm).  OFF by
+# default: standalone the kernel streams at ~660 GB/s vs ~190 for XLA's
+# two-pass lowering, but in the full train step it LOSES (228 -> 211
+# img/s/chip measured) — the custom-call boundary breaks XLA's fusion of
+# residual adds/casts into the LN and anchors extra layout conversions.
+# Kept for inference/serving graphs and as a measured negative result.
+FUSED_LN: bool = False
+
+
+def _resolve_fused_ln(flag):
+    return bool(flag)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with float32 accumulation, cast back to input dtype."""
 
@@ -34,6 +47,16 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_scale and self.use_bias and _resolve_fused_ln(FUSED_LN):
+            from cosmos_tpu.ops import layer_norm as fln
+
+            if fln.supported(x):
+                dim = x.shape[-1]
+                scale = self.param(
+                    "scale", nn.initializers.ones, (dim,), jnp.float32)
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (dim,), jnp.float32)
+                return fln.fused_layer_norm(x, scale, bias, self.epsilon)
         # single-pass stats: reduce the COMPUTE-dtype input with an f32
         # accumulator (no materialized f32 copy, one read instead of the
         # centered two-pass form) — measured -57ms/step on v5e.
