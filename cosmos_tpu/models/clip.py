@@ -62,6 +62,23 @@ class CLIP(nn.Module):
             act = get_act_fn("quick_gelu")
         else:
             act = get_act_fn("gelu_tanh" if self.act_approx else "gelu")
+        if v.timm_model_name:
+            # timm trunk dispatch (reference model.py:132-141)
+            from .timm_model import TimmModel
+
+            self.visual = TimmModel(
+                model_name=v.timm_model_name,
+                embed_dim=c.embed_dim,
+                image_size=v.image_size,
+                pool=v.timm_pool,
+                proj=v.timm_proj,
+                proj_bias=v.timm_proj_bias,
+                dtype=self.dtype,
+                use_flash=self.use_flash,
+                name="visual",
+            )
+            self._setup_text(act)
+            return
         if isinstance(v.layers, (tuple, list)):
             # ModifiedResNet dispatch (reference model.py _build_vision_tower:
             # tuple layer counts select the legacy ResNet tower)

@@ -41,6 +41,15 @@ class VisionCfg:
     class_token: bool = True
     patch_bias: bool = False
     no_proj: bool = False
+    # timm-trunk vision tower (reference model.py:53-62 CLIPVisionCfg
+    # timm_* fields; dispatched at model.py:132).  Here the trunk is the
+    # native VisionTransformer built in timm-ViT configuration — no timm
+    # dependency; weights load via models.timm_model.convert_timm_vit.
+    timm_model_name: Optional[str] = None
+    timm_pool: str = "avg"            # 'avg' | 'token'
+    timm_proj: str = "linear"         # 'linear' | 'mlp' | 'none'
+    timm_proj_bias: bool = False
+    timm_drop: float = 0.0
 
     @property
     def heads(self) -> int:

@@ -26,6 +26,8 @@ def detect_format(sd: Dict[str, Any]) -> str:
         return "mobileclip"
     if "visual.conv1.weight" in keys or "module.visual.conv1.weight" in keys:
         return "open_clip"
+    if "cls_token" in keys and "blocks.0.attn.qkv.weight" in keys:
+        return "timm_vit"
     return "unknown"
 
 
@@ -174,6 +176,17 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
         return torch_state_dict_to_params(sd, params)
     if fmt == "big_vision_siglip":
         return convert_big_vision_siglip(sd, params)
+    if fmt == "timm_vit":
+        # bare timm ViT checkpoint: fills the vision trunk of a
+        # timm_model_name config; text tower/head keep their init
+        from .timm_model import convert_timm_vit, infer_timm_vit_name
+
+        name = infer_timm_vit_name(sd)
+        out = dict(params)
+        visual = dict(params["visual"])
+        visual["trunk"] = convert_timm_vit(sd, name)
+        out["visual"] = visual
+        return out
     if fmt == "mobileclip":
         # Documented decision: MobileCLIP checkpoints require timm's
         # FastViT/RepMixer trunks (reference convert.py:142-180 maps onto

@@ -1,22 +1,209 @@
-"""timm vision-tower adapter (stub).
+"""timm-ViT vision tower: native trunk + pool/proj head, no timm dependency.
 
 Parity target: /root/reference/src/open_clip/timm_model.py:28-152 — a timm
-trunk + pool/proj head with group-wise locking.  timm is torch-only and
-is not present in this environment; TPU-native equivalents of the timm
-trunks used by open_clip configs (convnext, eva, siglip vits) would each
-need a flax port.  This stub preserves the factory surface and raises a
-clear error; ViT/ResNet towers are covered natively by
-cosmos_tpu.models.vit / modified_resnet.
+trunk plus 'avg'/'token' pooling and a 'linear'/'mlp' projection head,
+selected through CLIPVisionCfg timm_* fields (reference model.py:53-62,
+dispatch :132-141).
+
+TPU-native design: timm's plain ViTs are architecturally the same
+pre-norm transformer this package already implements, so instead of
+porting timm, the trunk IS cosmos_tpu.models.vit.VisionTransformer built
+in timm-ViT configuration (CLS token, biased patch embed, no pre-LN,
+final norm over all tokens before pooling, no CLIP projection).  timm
+checkpoints load through ``convert_timm_vit`` (a pure key/layout mapping:
+OIHW patch conv -> HWIO unfold-matmul kernel, [3W, W] packed qkv ->
+transposed [W, 3W] in_proj, blocks.N.* -> resblocks_N.*).
+
+Non-ViT timm trunks (convnext, eva, fastvit, ...) remain unsupported:
+each is a distinct torch-only architecture; ``TIMM_VIT_CONFIGS`` lists
+what this adapter covers and ``register_timm_vit`` extends it.
 """
 
 from __future__ import annotations
 
+from typing import Any, Dict, Optional
 
-class TimmModel:
-    def __init__(self, model_name: str, **kwargs):
-        raise NotImplementedError(
-            f"timm trunk {model_name!r}: timm is torch-only and unavailable "
-            "here. Use the native ViT (vision_cfg width/layers/patch_size) "
-            "or ModifiedResNet towers; contributions of flax ports of "
-            "specific timm trunks plug in via this adapter."
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import gelu
+
+Dtype = Any
+
+# timm model name -> trunk geometry (timm vision_transformer.py defaults)
+TIMM_VIT_CONFIGS: Dict[str, Dict[str, int]] = {
+    "vit_small_patch16_224": dict(patch_size=16, width=384, layers=12, heads=6),
+    "vit_small_patch32_224": dict(patch_size=32, width=384, layers=12, heads=6),
+    "vit_base_patch16_224": dict(patch_size=16, width=768, layers=12, heads=12),
+    "vit_base_patch32_224": dict(patch_size=32, width=768, layers=12, heads=12),
+    "vit_base_patch16_384": dict(patch_size=16, width=768, layers=12, heads=12,
+                                 image_size=384),
+    "vit_large_patch16_224": dict(patch_size=16, width=1024, layers=24, heads=16),
+    "vit_large_patch14_224": dict(patch_size=14, width=1024, layers=24, heads=16),
+    "vit_huge_patch14_224": dict(patch_size=14, width=1280, layers=32, heads=16),
+}
+
+
+def register_timm_vit(name: str, *, patch_size: int, width: int, layers: int,
+                      heads: int, image_size: int = 224) -> None:
+    """Register an additional plain-ViT timm geometry."""
+    TIMM_VIT_CONFIGS[name] = dict(
+        patch_size=patch_size, width=width, layers=layers, heads=heads,
+        image_size=image_size,
+    )
+
+
+class TimmModel(nn.Module):
+    """timm-ViT trunk + pool/proj adapter head (vision-tower interface).
+
+    Returns ``(pooled [B, embed_dim], tokens [B, N, width])`` like the
+    other vision towers; CSA segmentation needs the CLIP ViT tower.
+    """
+
+    model_name: str
+    embed_dim: int
+    image_size: int = 224
+    pool: str = "avg"           # 'avg' (patch-token mean) | 'token' (CLS)
+    proj: str = "linear"        # 'linear' | 'mlp' | 'none'
+    proj_bias: bool = False
+    dtype: Dtype = jnp.float32
+    use_flash: Optional[bool] = None
+
+    def setup(self):
+        if self.model_name not in TIMM_VIT_CONFIGS:
+            raise NotImplementedError(
+                f"timm trunk {self.model_name!r}: only plain ViTs are "
+                f"supported natively ({sorted(TIMM_VIT_CONFIGS)}); register "
+                "additional ViT geometries via register_timm_vit, or use "
+                "the native ViT/ModifiedResNet towers."
+            )
+        g = TIMM_VIT_CONFIGS[self.model_name]
+        if self.pool not in ("avg", "token", ""):
+            raise ValueError(f"timm_pool {self.pool!r}: use 'avg' or 'token'")
+        from .vit import VisionTransformer
+
+        self.trunk = VisionTransformer(
+            image_size=g.get("image_size", self.image_size),
+            patch_size=g["patch_size"],
+            width=g["width"],
+            layers=g["layers"],
+            num_heads=g["heads"],
+            output_dim=g["width"],
+            # timm-ViT configuration: biased patch embed, CLS token,
+            # learned pos embed, NO pre-LN, final norm over all tokens
+            # before pooling, no CLIP projection
+            patch_bias=True,
+            class_token=True,
+            no_ln_pre=True,
+            no_proj=True,
+            final_ln_after_pool=False,
+            pool_type="avg" if self.pool == "avg" else "tok",
+            act_fn=gelu,
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            name="trunk",
         )
+        if self.proj == "linear":
+            self.head = nn.Dense(self.embed_dim, use_bias=self.proj_bias,
+                                 dtype=self.dtype, name="head")
+        elif self.proj == "mlp":
+            # reference timm_model.py:84-86: Mlp(width, 2*embed_dim,
+            # embed_dim) with bias on the output layer
+            self.head_fc1 = nn.Dense(2 * self.embed_dim, use_bias=True,
+                                     dtype=self.dtype, name="head_fc1")
+            self.head_fc2 = nn.Dense(self.embed_dim, use_bias=self.proj_bias,
+                                     dtype=self.dtype, name="head_fc2")
+            self.head = None
+        elif self.proj in ("none", ""):
+            self.head = None
+        else:
+            raise ValueError(f"timm_proj {self.proj!r}")
+
+    def __call__(self, images: jax.Array, csa: bool = False,
+                 patch_drop_rng=None):
+        if csa:
+            raise NotImplementedError("CSA segmentation needs the CLIP ViT tower")
+        pooled, tokens = self.trunk(images)
+        if self.proj == "linear":
+            pooled = self.head(pooled)
+        elif self.proj == "mlp":
+            pooled = self.head_fc2(gelu(self.head_fc1(pooled)))
+        return pooled, tokens
+
+
+# --- timm checkpoint conversion ------------------------------------------
+
+
+def _t(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def infer_timm_vit_name(sd: Dict[str, Any]) -> str:
+    """Match a timm ViT state dict to a registered geometry by its shapes."""
+    w = int(np.asarray(sd["cls_token"]).reshape(-1).shape[0])
+    p = int(np.asarray(sd["patch_embed.proj.weight"]).shape[-1])
+    layers = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+    )
+    for name, g in TIMM_VIT_CONFIGS.items():
+        if g["width"] == w and g["patch_size"] == p and g["layers"] == layers:
+            return name
+    raise KeyError(
+        f"no registered timm ViT geometry matches width={w} patch={p} "
+        f"layers={layers}; add one via register_timm_vit"
+    )
+
+
+def _ln(sd, p: str) -> Dict[str, np.ndarray]:
+    return {"scale": np.asarray(sd[f"{p}.weight"]),
+            "bias": np.asarray(sd[f"{p}.bias"])}
+
+
+def convert_timm_vit(sd: Dict[str, Any], model_name: str) -> Dict[str, Any]:
+    """timm ViT state dict -> TimmModel 'trunk' param subtree.
+
+    Accepts numpy-convertible tensors (torch CPU tensors work).  Mapping:
+      cls_token [1,1,W]            -> class_embedding [W]
+      pos_embed [1,1+N,W]          -> positional_embedding [1+N,W]
+      patch_embed.proj.weight OIHW -> conv1_kernel HWIO (p,p,3,W)
+      blocks.i.attn.qkv.weight [3W,W] -> attn/in_proj_kernel [W,3W]
+      blocks.i.{norm1,norm2,attn.proj,mlp.fc1,mlp.fc2} -> resblocks_i/*
+      norm.*                       -> ln_post/*
+    Head/classifier keys are ignored (the adapter head is CLIP-trained).
+    """
+    g = TIMM_VIT_CONFIGS[model_name]
+    w = g["width"]
+    trunk: Dict[str, Any] = {
+        "class_embedding": np.asarray(sd["cls_token"]).reshape(w),
+        "positional_embedding": np.asarray(sd["pos_embed"]).reshape(-1, w),
+        "conv1_kernel": np.ascontiguousarray(
+            np.asarray(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0)
+        ),
+        "conv1_bias": np.asarray(sd["patch_embed.proj.bias"]),
+        "ln_post": _ln(sd, "norm"),
+    }
+    blocks: Dict[str, Any] = {}
+    for i in range(g["layers"]):
+        p = f"blocks.{i}"
+        blocks[f"resblocks_{i}"] = {
+            "ln_1": _ln(sd, f"{p}.norm1"),
+            "ln_2": _ln(sd, f"{p}.norm2"),
+            "attn": {
+                "in_proj_kernel": _t(sd[f"{p}.attn.qkv.weight"]),
+                "in_proj_bias": np.asarray(sd[f"{p}.attn.qkv.bias"]),
+                "out_proj": {
+                    "kernel": _t(sd[f"{p}.attn.proj.weight"]),
+                    "bias": np.asarray(sd[f"{p}.attn.proj.bias"]),
+                },
+            },
+            "mlp": {
+                "c_fc": {"kernel": _t(sd[f"{p}.mlp.fc1.weight"]),
+                         "bias": np.asarray(sd[f"{p}.mlp.fc1.bias"])},
+                "c_proj": {"kernel": _t(sd[f"{p}.mlp.fc2.weight"]),
+                           "bias": np.asarray(sd[f"{p}.mlp.fc2.bias"])},
+            },
+        }
+    trunk["transformer"] = blocks
+    return jax.tree.map(jnp.asarray, trunk)
