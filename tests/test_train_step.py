@@ -242,6 +242,27 @@ def test_remat_step_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_remat_policy_step_matches_no_remat():
+    """A named checkpoint policy (save matmul outputs) changes memory, not
+    math: one step under dots_with_no_batch_dims_saveable must produce the
+    same loss as the default full-recompute remat."""
+    losses = []
+    for policy in ("", "dots_with_no_batch_dims_saveable"):
+        model, params = create_model(
+            "ViT-B-16", cosmos=True, output_all=True, attentional_pool=True,
+            add_zero_attn=True, grad_checkpointing=True,
+            remat_policy=policy, seed=0, **TINY
+        )
+        mesh = create_mesh(4)
+        opt = create_optimizer(cosine_lr(1e-3, 0, 10))
+        step = make_train_step(model, opt, mesh, TrainStepConfig(cosmos=True))
+        state = create_train_state(params, opt)
+        state, m = step(state, make_batch(jax.random.PRNGKey(0), b=8))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses[0])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
 def test_siglip_mode_step():
     model, params = create_model(
         "ViT-B-16", init_logit_bias=-10.0, **TINY
