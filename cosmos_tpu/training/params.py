@@ -204,4 +204,13 @@ def parse_args(args=None):
         )
     if ns.cosmos and ns.num_sampled_captions < 2:
         parser.error("--cosmos requires --num-sampled-captions >= 2")
+    # the COSMOS loss consumes cross-modal token features, which only exist
+    # with the token-mapping heads and cross-attention poolers enabled
+    # (reference train scripts always pass the three flags together,
+    # train_cc3m.sh:36-38; without them the loss would KeyError mid-trace)
+    if ns.cosmos and not (ns.output_all and ns.attentional_pool):
+        parser.error(
+            "--cosmos requires --output-all and --attentional-pool "
+            "(the cross-modality heads the COSMOS loss distills through)"
+        )
     return ns

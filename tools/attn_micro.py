@@ -1,7 +1,12 @@
 """Micro-bench: attention formulations at the CC3M bench shapes.
 
-RANKING tool only (full-step bench.py is ground truth).  Honest timing
-through the relay needs a scalar readback per measurement.
+DEPRECATED METHODOLOGY WARNING: the lax.scan wall-clock harness here has
+known floors that make small-op numbers unreliable — ~0.3-0.5ms per scan
+iteration through the relay, carries that fit in VMEM never touch HBM,
+and partially-consumed carries let XLA dead-code-eliminate work.  Use
+device traces instead (tools/trace_step.py, or a scan under
+jax.profiler.trace reading the per-op durations).  Kept for coarse
+(>2ms/op) comparisons only; full-step bench.py is ground truth.
 
 Usage: python tools/attn_micro.py [fwd|grad]
 """
