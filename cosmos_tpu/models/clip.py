@@ -66,6 +66,17 @@ class CLIP(nn.Module):
             # timm trunk dispatch (reference model.py:132-141)
             from .timm_model import TimmModel
 
+            if self.cosmos or v.attentional_pool or v.output_all:
+                # the COSMOS heads need the tower's cross-attention pooler
+                # and token-mapping outputs, which the timm adapter (pool +
+                # proj head only, like the reference's) does not provide —
+                # fail at construction, not with a KeyError mid-trace
+                raise ValueError(
+                    "timm vision towers support plain CLIP/SigLIP training "
+                    "and inference only; --cosmos/--output-all/"
+                    "--attentional-pool need the native ViT tower"
+                )
+
             self.visual = TimmModel(
                 model_name=v.timm_model_name,
                 embed_dim=c.embed_dim,
@@ -73,6 +84,7 @@ class CLIP(nn.Module):
                 pool=v.timm_pool,
                 proj=v.timm_proj,
                 proj_bias=v.timm_proj_bias,
+                drop=v.timm_drop,
                 dtype=self.dtype,
                 use_flash=self.use_flash,
                 name="visual",

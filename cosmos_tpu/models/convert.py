@@ -181,6 +181,13 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
         # timm_model_name config; text tower/head keep their init
         from .timm_model import convert_timm_vit, infer_timm_vit_name
 
+        if "trunk" not in params.get("visual", {}):
+            raise ValueError(
+                "bare timm ViT checkpoint needs a timm vision tower: "
+                "build the model with vision_cfg timm_model_name "
+                "(e.g. create_model(..., vision_timm_model_name="
+                "'vit_base_patch16_224'))"
+            )
         name = infer_timm_vit_name(sd)
         out = dict(params)
         visual = dict(params["visual"])

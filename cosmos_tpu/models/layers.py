@@ -34,10 +34,6 @@ Dtype = Any
 FUSED_LN: bool = False
 
 
-def _resolve_fused_ln(flag):
-    return bool(flag)
-
-
 class LayerNorm(nn.Module):
     """LayerNorm with float32 accumulation, cast back to input dtype."""
 
@@ -47,7 +43,7 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        if self.use_scale and self.use_bias and _resolve_fused_ln(FUSED_LN):
+        if self.use_scale and self.use_bias and FUSED_LN:
             from cosmos_tpu.ops import layer_norm as fln
 
             if fln.supported(x):

@@ -68,6 +68,7 @@ class TimmModel(nn.Module):
     pool: str = "avg"           # 'avg' (patch-token mean) | 'token' (CLS)
     proj: str = "linear"        # 'linear' | 'mlp' | 'none'
     proj_bias: bool = False
+    drop: float = 0.0           # head dropout: must be 0 (see setup)
     dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
 
@@ -82,6 +83,12 @@ class TimmModel(nn.Module):
         g = TIMM_VIT_CONFIGS[self.model_name]
         if self.pool not in ("avg", "token", ""):
             raise ValueError(f"timm_pool {self.pool!r}: use 'avg' or 'token'")
+        if self.drop:
+            raise NotImplementedError(
+                "timm_drop (head dropout) is not wired into the flax head; "
+                "pass timm_drop=0 (dropout-free heads match the released "
+                "CLIP configs, which train with drop=0)"
+            )
         from .vit import VisionTransformer
 
         self.trunk = VisionTransformer(

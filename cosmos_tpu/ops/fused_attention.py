@@ -73,6 +73,15 @@ def _softmax_rows(s: jax.Array) -> jax.Array:
         denominator guard turns that into 0 (not NaN).  exp(-80)=1.8e-35
         is still a normal f32, so any s >= -80 row is exact.
     Masked entries arrive as s <= -1e30 and exp to exactly 0.
+
+    Documented edge vs exact softmax: a row whose EVERY unmasked logit is
+    below ~-88 (reachable only under catastrophic logit collapse, e.g. a
+    diverging run) produces a zero output row and zero gradient for that
+    query instead of a near-uniform distribution — detectable as a
+    zero-norm attention output, never a NaN.  Training that needs exact
+    softmax in that regime can force the XLA path (use_flash=False /
+    omitting --use-flash-attention on CPU backends), which keeps the
+    max-subtracted formulation.
     """
     e = jnp.exp(jnp.minimum(s, 80.0))
     return e / (jnp.sum(e, -1, keepdims=True) + 1e-30)

@@ -77,13 +77,19 @@ def _bwd_kernel(x_ref, s_ref, mean_ref, rstd_ref, g_ref,
     db_ref[...] += db_part[None]
 
 
+# per-row-of-block bytes: the backward is the worst case — it holds x, g,
+# dx blocks plus two f32 working copies (xf and gs/xh temporaries share
+# registers but budget them explicitly)
+def _row_bytes(d: int, itemsize: int) -> int:
+    return d * (3 * itemsize + 2 * 4)
+
+
 def _pick_bblk(batch: int, l: int, d: int, itemsize: int) -> int:
     budget = 12 * 1024 * 1024
     for b in (32, 16, 8, 4, 2, 1):
         if batch % b:
             continue
-        # x block + y block (+ f32 working copy)
-        if b * l * d * (2 * itemsize + 4) <= budget:
+        if b * l * _row_bytes(d, itemsize) <= budget:
             return b
     return 1
 
@@ -92,7 +98,9 @@ def supported(x: jax.Array) -> bool:
     if x.ndim != 3:
         return False
     b, l, d = x.shape
-    return d % 128 == 0 and b % 2 == 0 and l * d * 2 * 3 <= 8 * 1024 * 1024
+    # even the 1-batch block must fit the (backward) working-set budget
+    return (d % 128 == 0 and b % 2 == 0
+            and l * _row_bytes(d, x.dtype.itemsize) <= 12 * 1024 * 1024)
 
 
 def _resolve_interpret(interpret: Optional[bool]) -> bool:

@@ -136,6 +136,7 @@ def main(argv=None) -> Dict:
         attentional_pool=args.attentional_pool,
         add_zero_attn=args.add_zero_attn,
         grad_checkpointing=args.grad_checkpointing,
+        remat_policy=args.remat_policy,
         use_flash=args.use_flash_attention,
         act_approx=args.gelu_approx,
         force_quick_gelu=args.force_quick_gelu,

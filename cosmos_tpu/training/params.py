@@ -95,6 +95,10 @@ def parse_args(args=None):
     add("--precision", type=str, default="amp",
         choices=["amp", "amp_bf16", "bf16", "pure_bf16", "fp32", "fp16"])
     add("--grad-checkpointing", action="store_true", default=False)
+    # named jax.checkpoint policy for --grad-checkpointing ("" = full
+    # recompute); e.g. dots_with_no_batch_dims_saveable keeps matmul
+    # outputs and recomputes only the elementwise ops between them
+    add("--remat-policy", type=str, default="")
     add("--local-loss", action="store_true", default=False,
         help="compute [B_local, B_global] logit rows per device")
     add("--gather-with-grad", action="store_true", default=True)

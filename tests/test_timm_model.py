@@ -151,3 +151,25 @@ def test_unsupported_trunk_raises():
     tower = TimmModel(model_name="convnext_base", embed_dim=32)
     with pytest.raises(NotImplementedError):
         tower.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)))
+
+
+def test_timm_with_cosmos_heads_raises():
+    """COSMOS needs the native tower's cross-pooler; the timm adapter must
+    fail at construction, not KeyError mid-trace."""
+    with pytest.raises(ValueError, match="timm vision towers"):
+        create_model(
+            "ViT-Tiny-Test", cosmos=True, output_all=True,
+            attentional_pool=True, add_zero_attn=True,
+            vision_timm_model_name="vit_test_patch8_32",
+            vision_image_size=IMG,
+        )
+
+
+def test_bare_timm_ckpt_into_non_timm_model_raises():
+    from cosmos_tpu.models.convert import convert_state_dict
+
+    torch.manual_seed(0)
+    sd = timm_state_dict(TorchTimmViT())
+    model, params = create_model("ViT-Tiny-Test")
+    with pytest.raises(ValueError, match="timm_model_name"):
+        convert_state_dict(model, params, sd)
