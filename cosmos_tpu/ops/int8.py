@@ -3,8 +3,16 @@
 Parity target: /root/reference/src/open_clip/utils.py:66 replace_linear —
 the reference swaps nn.Linear for bitsandbytes int8 modules at inference.
 TPU-native version: per-output-channel symmetric int8 weights with f32
-scales; the matmul runs int8 x int8 -> int32 on the MXU (v5e int8 peak is
-2x bf16) with activations dynamically quantized per row.
+scales; the matmul runs int8 x int8 -> int32 on the MXU with activations
+dynamically quantized per row.
+
+Measured caveat (v5e, trace-timed): although the hardware's int8 peak is
+2x bf16, this XLA-lowered path runs ~2x SLOWER than the plain bf16
+matmul at CLIP shapes — the dynamic per-row activation quantization
+(absmax reduce + scale + round) is not fused into the dot and XLA does
+not emit the native int8 MXU path for it.  Use these ops for weight-only
+compression/export (4x smaller checkpoints, dequantize-on-load), not for
+serving-latency wins; accuracy loss is ~1% relative error per matmul.
 
 API:
   quantize_weight(w)            -> (w_int8 [K,N], scale [N])
