@@ -152,15 +152,28 @@ def convert_big_vision_siglip(npz, reference_params: Dict) -> Dict:
         f"{len(txt['transformer'])} text blocks"
     )
 
-    # merge with the reference tree (anything not in the npz stays at init)
-    def merge(ref, new):
+    # merge with the reference tree (anything not in the npz stays at init);
+    # converted tensors the target model has no slot for are an ERROR — a
+    # silently-dropped attn_pool/logit_bias would leave a random pooling
+    # path evaluating garbage (model config must be the SigLIP shape:
+    # pool_type='map', class_token=False, init_logit_bias set)
+    def merge(ref, new, path=""):
         if not isinstance(ref, dict):
             if new is not None and hasattr(ref, "shape") and hasattr(new, "shape"):
                 assert tuple(np.shape(new)) == tuple(np.shape(ref)), (
-                    f"shape mismatch: {np.shape(new)} vs {np.shape(ref)}"
+                    f"shape mismatch at {path}: {np.shape(new)} vs {np.shape(ref)}"
                 )
             return new if new is not None else ref
-        return {k: merge(ref[k], (new or {}).get(k)) for k in ref}
+        new = new or {}
+        unused = set(new) - set(ref)
+        if unused:
+            raise ValueError(
+                f"converted SigLIP tensors have no slot in the target model "
+                f"at {path or '<root>'}: {sorted(unused)} — build the model "
+                "with the SigLIP vision/text config (pool_type='map', "
+                "class_token=False, patch_bias=True, init_logit_bias)"
+            )
+        return {k: merge(ref[k], new.get(k), f"{path}/{k}") for k in ref}
 
     return jax.tree.map(
         lambda x: np.asarray(x, np.float32), merge(reference_params, out)

@@ -165,7 +165,14 @@ def build_hf_text_tower(text_cfg, embed_dim: int, dtype=jnp.float32,
         output_dim=embed_dim,
         pooler_type=pooler,
         proj_type=getattr(text_cfg, "hf_proj_type", None) or "mlp",
-        pad_id=getattr(text_cfg, "pad_id", 0),
+        # the attention/pooling mask must follow the HF architecture's own
+        # padding id (reference hf_model.py uses config.pad_token_id):
+        # roberta/xlm-roberta pad with 1, not the CLIP-default 0
+        pad_id=(
+            config.pad_token_id
+            if getattr(config, "pad_token_id", None) is not None
+            else getattr(text_cfg, "pad_id", 0)
+        ),
         dtype=dtype,
         name=name,
     )

@@ -33,10 +33,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_row_block(r: int) -> int:
+def _pick_row_block(r: int, d: int, o: int, itemsize: int) -> int:
+    """Largest divisor row block whose VMEM working set (resident weight
+    matrix + x/out row blocks) fits."""
+    budget = 12 * 1024 * 1024
+    weights = d * o * itemsize
     for cand in (512, 256, 128, 64, 32, 16, 8):
-        if r % cand == 0:
+        if r % cand:
+            continue
+        working = weights + cand * (d * (itemsize + 4) + o * 4)
+        if working <= budget:
             return cand
+    if weights + 8 * (d * (itemsize + 4) + o * 4) > budget:
+        raise ValueError(
+            f"fused LN->matmul: weight ({weights/2**20:.0f} MiB at "
+            f"d={d}, out={o}) cannot fit the VMEM budget — use the "
+            "unfused XLA path (fuse_ln=False) for this width"
+        )
     return r
 
 
@@ -59,7 +72,7 @@ def _kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps):
 def _ln_matmul_fwd_impl(x2, g, b, w, bias, eps, interpret):
     r, d = x2.shape
     o = w.shape[1]
-    br = _pick_row_block(r)
+    br = _pick_row_block(r, d, o, x2.dtype.itemsize)
     grid = (r // br,)
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps),

@@ -31,10 +31,23 @@ from jax.experimental.pallas import tpu as pltpu
 from cosmos_tpu.models.layers import get_act_fn
 
 
-def _pick_row_block(r: int) -> int:
+def _pick_row_block(r: int, d: int, hd: int, itemsize: int) -> int:
+    """Largest divisor row block whose VMEM working set (both resident
+    weight matrices + x/y row blocks + the f32 hidden block) fits."""
+    budget = 12 * 1024 * 1024
+    weights = (d * hd + hd * d) * itemsize
     for cand in (256, 128, 64, 32, 16, 8):
-        if r % cand == 0:
+        if r % cand:
+            continue
+        working = weights + cand * (d * (itemsize + 4) + hd * 4 + d * itemsize)
+        if working <= budget:
             return cand
+    if weights + 8 * (d * (itemsize + 4) + hd * 4) > budget:
+        raise ValueError(
+            f"fused MLP block: weights ({weights/2**20:.0f} MiB at "
+            f"d={d}, hidden={hd}) cannot fit the VMEM budget — use the "
+            "unfused XLA path (fuse_ln=False) for this width"
+        )
     return r
 
 
@@ -69,7 +82,7 @@ def _resolve_interpret(interpret):
 def _fwd_impl(x2, g, b, w1, b1, w2, b2, eps, act, interpret):
     r, d = x2.shape
     hd = w1.shape[1]
-    br = _pick_row_block(r)
+    br = _pick_row_block(r, d, hd, x2.dtype.itemsize)
     act_fn = get_act_fn(act)
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps, act_fn=act_fn),

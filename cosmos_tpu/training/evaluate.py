@@ -52,7 +52,12 @@ class RetrievalImageDataset:
 # jitted encoder triplets are cached per (model, mesh) so an in-training
 # eval every --val-frequency epochs reuses the compiled executables instead
 # of paying a fresh TPU compile each time (params flow in as an argument)
-_ENCODER_CACHE: dict = {}
+# Bounded (LRU, insertion-ordered) so long-lived processes that evaluate
+# many models (sweeps, test suites) don't pin every jitted executable +
+# model object forever; id()-keys are only compared while the object is
+# alive in the cache, so eviction also prevents id-reuse aliasing.
+_ENCODER_CACHE: "dict" = {}
+_ENCODER_CACHE_MAX = 4
 
 
 def make_encoders(model, params, mesh=None):
@@ -99,6 +104,8 @@ def make_encoders(model, params, mesh=None):
                               method=model.encode_text)
             return out["text_features"]
 
+        while len(_ENCODER_CACHE) >= _ENCODER_CACHE_MAX:
+            _ENCODER_CACHE.pop(next(iter(_ENCODER_CACHE)))
         _ENCODER_CACHE[cache_key] = (enc_image, enc_text_norm, enc_text_raw)
 
     enc_image, enc_text_norm, enc_text_raw = _ENCODER_CACHE[cache_key]

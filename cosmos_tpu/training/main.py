@@ -137,7 +137,9 @@ def main(argv=None) -> Dict:
         add_zero_attn=args.add_zero_attn,
         grad_checkpointing=args.grad_checkpointing,
         remat_policy=args.remat_policy,
-        use_flash=args.use_flash_attention,
+        # tri-state: the flag FORCES the fused kernel; omitted -> None
+        # (auto: fused kernel on TPU backends, XLA path on CPU)
+        use_flash=True if args.use_flash_attention else None,
         act_approx=args.gelu_approx,
         force_quick_gelu=args.force_quick_gelu,
         force_patch_dropout=args.force_patch_dropout,

@@ -65,26 +65,40 @@ def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
                 unlocked_groups: int = 0):
     """True where updates must be ZEROED (LiT locking, main.py:321-335).
 
-    ``unlocked_groups`` > 0 keeps the LAST n image-tower groups trainable
-    (reference VisionTransformer.lock semantics: groups are the final
-    norm/proj, then resblocks from the end — transformer.py lock path)."""
+    ``unlocked_groups`` > 0 keeps the LAST n image-tower groups trainable,
+    matching the reference VisionTransformer.lock grouping exactly
+    (transformer.py:560-578): group 1 = proj alone, group 2 = last
+    resblock + ln_post, groups 3.. = earlier resblocks from the end."""
     unlocked_layers = set()
-    head_unlocked = False
+    proj_unlocked = False
+    lnpost_unlocked = False
     if lock_image and unlocked_groups > 0:
         n_layers = len([
             k for k in params.get("visual", {}).get("transformer", {})
             if k.startswith("resblocks_")
         ])
-        # group 1 = ln_post + proj (the head); groups 2.. = blocks from the end
-        head_unlocked = True
-        for i in range(unlocked_groups - 1):
-            unlocked_layers.add(f"resblocks_{n_layers - 1 - i}")
+        if n_layers == 0:
+            # reference ModifiedResNet.lock has no group support either
+            # (transformer lock path only) — fail instead of silently
+            # unlocking nothing
+            raise ValueError(
+                "--lock-image-unlocked-groups needs a ViT image tower "
+                "(per-group unlocking is undefined for this tower)"
+            )
+        proj_unlocked = True                       # group 1: proj
+        if unlocked_groups >= 2:                   # group 2: last block + ln_post
+            lnpost_unlocked = True
+        for i in range(max(0, unlocked_groups - 1)):
+            if i < n_layers:
+                unlocked_layers.add(f"resblocks_{n_layers - 1 - i}")
 
     def mark(path, leaf):
         names = [p.key for p in path if hasattr(p, "key")]
         top = names[0] if names else ""
         if lock_image and top == "visual":
-            if head_unlocked and any(n in ("ln_post", "proj") for n in names):
+            if proj_unlocked and "proj" in names:
+                return False
+            if lnpost_unlocked and "ln_post" in names:
                 return False
             if any(n in unlocked_layers for n in names):
                 return False

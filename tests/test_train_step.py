@@ -298,3 +298,13 @@ def test_lock_image_unlocked_groups():
     assert mask["visual"]["conv1_kernel"] is True
     # text untouched
     assert all(v is False for v in jax.tree.leaves(mask["text"]))
+
+    # n=1 unlocks ONLY proj (reference transformer.py:560-578: proj is its
+    # own group; ln_post belongs to group 2 with the last resblock)
+    mask1 = frozen_mask(params, lock_image=True, unlocked_groups=1)
+    assert mask1["visual"]["proj"] is False
+    assert mask1["visual"]["ln_post"]["scale"] is True
+    assert all(
+        v is True
+        for v in jax.tree.leaves(mask1["visual"]["transformer"]["resblocks_1"])
+    )
