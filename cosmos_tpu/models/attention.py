@@ -33,10 +33,6 @@ from .layers import LayerNorm
 
 Dtype = Any
 
-# experiment toggle (tools/ablate_bench.py): route non-CSA, non-flash
-# attention through the [B, L, H, Dh] layout (no head transposes)
-BLHD_LAYOUT = False
-
 
 def resolve_fused(flag: Optional[bool]) -> bool:
     """use_flash tri-state: None = auto (on for TPU backends, off on CPU,
@@ -81,24 +77,6 @@ def dot_product_attention(
     # internally, but the hint forces an f32 OUTPUT tensor — measured
     # ~70ms/step of pure HBM traffic on v5e
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
-
-
-def dot_product_attention_blhd(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    mask: Optional[jax.Array] = None,
-) -> jax.Array:
-    """Same math with [B, L, H, Dh] operands: the head axis never moves to
-    a major position, so q/k/v/out keep the packed [B, L, D] HBM layout
-    (reshape-only head split; no transposed, lane-padded copies)."""
-    dh = q.shape[-1]
-    scale = dh ** -0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-    if mask is not None:
-        logits = logits + mask.astype(logits.dtype)
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
 
 
 class MultiheadAttention(nn.Module):
@@ -155,7 +133,7 @@ class MultiheadAttention(nn.Module):
                 supported,
             )
 
-            fused = supported(self.num_heads, d)
+            fused = supported(self.num_heads, d, x.shape[1])
 
         if ln is not None:
             assert kv is None, "fused LN->QKV is a self-attention path"
@@ -202,19 +180,6 @@ class MultiheadAttention(nn.Module):
         kh = _split_heads(k, self.num_heads)
         vh = _split_heads(v, self.num_heads)
 
-        if (
-            BLHD_LAYOUT
-            and not csa
-            and not (self.use_flash and kv is None and (mask is None or causal))
-        ):
-            b_, lq_ = q.shape[0], q.shape[1]
-            qh = q.reshape(b_, lq_, self.num_heads, -1)
-            kh = k.reshape(b_, k.shape[1], self.num_heads, -1)
-            vh = v.reshape(b_, v.shape[1], self.num_heads, -1)
-            out = dot_product_attention_blhd(qh, kh, vh, mask=mask)
-            out = out.reshape(b_, lq_, -1)
-            return nn.Dense(x.shape[-1], dtype=self.dtype, name="out_proj")(out)
-
         if csa:
             # SCLIP correlative self-attention (transformer.py:745-748):
             # softmax(q qᵀ s) + softmax(k kᵀ s) — note weights sum to 2.
@@ -226,11 +191,6 @@ class MultiheadAttention(nn.Module):
                              preferred_element_type=jnp.float32) * scale
             weights = jax.nn.softmax(qq, axis=-1) + jax.nn.softmax(kk_, axis=-1)
             out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(vh.dtype), vh)
-        elif self.use_flash and kv is None and (mask is None or causal):
-            # causal=True means the additive mask (if any) is exactly the
-            # causal mask, which the kernel applies itself
-            from cosmos_tpu.ops.flash_attention import flash_attention
-            out = flash_attention(qh, kh, vh, causal)
         else:
             out = dot_product_attention(qh, kh, vh, mask=mask)
 

@@ -19,7 +19,10 @@ the projections regain their canonical fast layouts.
 
 Kernel shape rules:
   - grid over batch blocks only; a block's whole [b, L, 3D] slab sits in
-    VMEM (CLIP sequences are short: L in {197, 77, 37, 196, 50});
+    VMEM (CLIP sequences are short: L in {197, 77, 37, 196, 50}); the
+    block is capped at 4 — Mosaic's compile time explodes superlinearly
+    past that (777s for one blk=8 kernel vs 3.8s at blk=4 on v5e) for a
+    <2% runtime gain;
   - unrolled head loop; per head one [b,L,64]x[b,L,64] batched MXU matmul,
     f32 softmax in VMEM, one PV matmul, result written into the head's
     64-lane slice of the output block;
@@ -141,31 +144,59 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, dh, scale, causal):
 
 
 # v5e VMEM is far larger than Mosaic's default per-kernel limit; raising the
-# limit lets the fwd kernel run batch-block 8 and the bwd block 4 at the CLIP
-# globals shape (trace-measured: fwd 0.377->0.356 ms, bwd 1.098->0.954 ms per
+# limit lets the fwd kernel run batch-block 4 at the CLIP globals shape
+# (trace-measured: fwd 0.377->0.356 ms, bwd 1.098->0.954 ms per
 # [128,197,12x64] call)
 _VMEM_LIMIT = 64 * 1024 * 1024
 
+# Mosaic compile time explodes superlinearly in the batch block: measured on
+# v5e (jax 0.9) for the [*,197,2304] fwd kernel, blk=2 -> 1.8s, blk=4 -> 3.8s,
+# blk=8 -> 777s (!).  Round 2 shipped blk=8/16 picks and paid a 25-minute
+# driver warmup for a <2% runtime gain.  Everything >4 is compile-time
+# pathological; cap it.
+_MAX_BLK = 4
 
-def _pick_block(batch: int, l: int, d: int, itemsize: int,
+
+def _working_set(blk: int, l: int, d: int, dh: int, itemsize: int,
+                 backward: bool) -> int:
+    """VMEM bytes for one batch block (double-buffered in/out slabs +
+    per-head f32 probability matrices + head slices of width dh)."""
+    slabs = 3 * l * d + l * d            # qkv + out
+    if backward:
+        slabs += 3 * l * d + l * d       # dqkv + do
+    varying = 2 * l * l * 4 + 6 * l * dh * itemsize  # p/dp f32 + slices
+    return blk * (slabs * itemsize + varying)
+
+
+def _pick_block(batch: int, l: int, d: int, dh: int, itemsize: int,
                 backward: bool) -> int:
-    """Largest batch block whose VMEM working set stays under budget."""
+    """Largest compile-time-safe batch block under the VMEM budget."""
     budget = 14 * 1024 * 1024
-    for b in (16, 8, 4, 2, 1):
+    for b in (_MAX_BLK, 2, 1):
         if batch % b:
             continue
-        slabs = 3 * l * d + l * d            # qkv + out
-        if backward:
-            slabs += 3 * l * d + l * d       # dqkv + do
-        varying = 2 * l * l * 4 + 6 * l * 64 * itemsize  # p/dp f32 + slices
-        if b * (slabs * itemsize + varying) <= budget:
+        if _working_set(b, l, d, dh, itemsize, backward) <= budget:
             return b
     return 1
 
 
-def supported(num_heads: int, d: int) -> bool:
+def supported(num_heads: int, d: int, l: Optional[int] = None) -> bool:
+    """True when the kernel can handle this geometry.
+
+    Head dim must be a full 64/128-lane slice, and (when the sequence
+    length is known) even the blk=1 backward working set must fit the VMEM
+    budget — long-sequence configs (e.g. ~512px images, L >= ~1100) would
+    otherwise hit a Mosaic compile failure instead of falling back to the
+    XLA formulation (mirrors layer_norm.supported()'s bound)."""
     dh = d // num_heads
-    return dh * num_heads == d and dh in _OK_DH
+    if dh * num_heads != d or dh not in _OK_DH:
+        return False
+    if l is not None:
+        # itemsize 2 (bf16) is the layout every training path uses; f32
+        # inputs halve the viable L but only appear in tiny eval shapes
+        if _working_set(1, l, d, dh, 2, backward=True) > 14 * 1024 * 1024:
+            return False
+    return True
 
 
 def _resolve_interpret(interpret):
@@ -193,7 +224,7 @@ def _fa_fwd(qkv, num_heads, causal, interpret):
     b, l, d3 = qkv.shape
     d = d3 // 3
     dh = d // num_heads
-    blk = _pick_block(b, l, d, qkv.dtype.itemsize, backward=False)
+    blk = _pick_block(b, l, d, dh, qkv.dtype.itemsize, backward=False)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, heads=num_heads, dh=dh,
                           scale=dh ** -0.5, causal=causal),
@@ -214,7 +245,7 @@ def _fa_bwd(num_heads, causal, interpret, res, g_out):
     b, l, d3 = qkv.shape
     d = d3 // 3
     dh = d // num_heads
-    blk = _pick_block(b, l, d, qkv.dtype.itemsize, backward=True)
+    blk = _pick_block(b, l, d, dh, qkv.dtype.itemsize, backward=True)
     spec3 = pl.BlockSpec((blk, l, d3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     spec1 = pl.BlockSpec((blk, l, d), lambda i: (i, 0, 0),

@@ -79,6 +79,9 @@ def main(argv=None) -> Dict:
         make_train_step,
     )
 
+    from cosmos_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     random_seed(args.seed)
     process_index, process_count = init_distributed(
         args.coordinator_address, args.num_processes, args.process_id
@@ -137,9 +140,9 @@ def main(argv=None) -> Dict:
         add_zero_attn=args.add_zero_attn,
         grad_checkpointing=args.grad_checkpointing,
         remat_policy=args.remat_policy,
-        # tri-state: the flag FORCES the fused kernel; omitted -> None
-        # (auto: fused kernel on TPU backends, XLA path on CPU)
-        use_flash=True if args.use_flash_attention else None,
+        # tri-state: 'on' forces the fused kernel, 'off' forces the exact
+        # XLA softmax path, 'auto' (None) picks by backend
+        use_flash={"auto": None, "on": True, "off": False}[args.flash_attention],
         act_approx=args.gelu_approx,
         force_quick_gelu=args.force_quick_gelu,
         force_patch_dropout=args.force_patch_dropout,
@@ -149,6 +152,19 @@ def main(argv=None) -> Dict:
     tokenizer = get_tokenizer(args.model)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"model {args.model}: {n_params/1e6:.1f}M params")
+
+    # frozen distillation teacher (reference main.py:289-296): a second
+    # CLIP whose params never enter the optimizer or the checkpoint
+    dist_model = dist_params = None
+    if args.distill:
+        dist_model, dist_params = create_model(
+            args.distill_model,
+            pretrained=args.distill_pretrained,
+            precision=args.precision,
+        )
+        logger.info(
+            f"distilling from {args.distill_model} ({args.distill_pretrained})"
+        )
 
     image_size = model.cfg.vision_cfg.image_size
 
@@ -220,15 +236,23 @@ def main(argv=None) -> Dict:
         lock_image=args.lock_image,
         lock_text=args.lock_text,
         lock_image_unlocked_groups=args.lock_image_unlocked_groups,
+        lock_text_unlocked_layers=args.lock_text_unlocked_layers,
+        lock_text_freeze_layer_norm=args.lock_text_freeze_layer_norm,
     )
     momentum_schedule = cosine_scheduler(
         args.momentum_teacher, 1.0, 0, total_steps
     )
     import jax.numpy as jnp
 
+    is_coca = model.cfg.multimodal_cfg is not None
     step_cfg = TrainStepConfig(
         cosmos=args.cosmos,
         siglip=args.siglip,
+        distill=args.distill,
+        coca=is_coca,
+        coca_caption_loss_weight=args.coca_caption_loss_weight,
+        coca_contrastive_loss_weight=args.coca_contrastive_loss_weight,
+        coca_pad_id=getattr(model, "pad_id", 0),
         local_loss=args.local_loss,
         gather_with_grad=args.gather_with_grad,
         momentum_schedule=momentum_schedule,
@@ -240,7 +264,18 @@ def main(argv=None) -> Dict:
                      else jnp.float32),
         accum_freq=args.accum_freq,
     )
-    step_fn = make_train_step(model, optimizer, mesh, step_cfg)
+    step_fn = make_train_step(model, optimizer, mesh, step_cfg,
+                              dist_model=dist_model)
+    if args.distill:
+        # transfer the frozen teacher once (replicated); the lambda keeps
+        # the train loop's (state, batch) calling convention
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        dist_params = jax.device_put(
+            dist_params, NamedSharding(mesh, _P())
+        )
+        _raw_step = step_fn
+        step_fn = lambda s, b: _raw_step(s, b, dist_params)  # noqa: E731
     if args.init_last_layer:
         from cosmos_tpu.models.init_utils import reinit_last_transformer_layer
 
@@ -253,13 +288,13 @@ def main(argv=None) -> Dict:
         teacher_p = reinit_last_transformer_layer(
             params, jax.random.PRNGKey(args.seed + 2)
         )
-        state = create_train_state(student_p, optimizer)
+        state = create_train_state(student_p, optimizer, mesh)
         # deep-copy: student/teacher must not alias any buffer (donation)
         state = state.replace(
             teacher_params=jax.tree.map(jnp.copy, teacher_p)
         )
     else:
-        state = create_train_state(params, optimizer)
+        state = create_train_state(params, optimizer, mesh)
 
     # --- resume (main.py:150-188, 406-435) -------------------------------
     start_epoch = 0

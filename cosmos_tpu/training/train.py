@@ -32,7 +32,13 @@ from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from cosmos_tpu.losses import ClipLoss, COSMOSLoss, SigLipLoss
+from cosmos_tpu.losses import (
+    ClipLoss,
+    CoCaLoss,
+    COSMOSLoss,
+    DistillClipLoss,
+    SigLipLoss,
+)
 from cosmos_tpu.parallel.mesh import DATA_AXIS
 
 LN100 = 4.605170185988092  # ln(100), train.py:237
@@ -62,16 +68,31 @@ def wd_mask(params) -> Any:
 
 
 def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
-                unlocked_groups: int = 0):
+                unlocked_groups: int = 0, text_unlocked_layers: int = 0,
+                text_freeze_layer_norm: bool = True):
     """True where updates must be ZEROED (LiT locking, main.py:321-335).
 
     ``unlocked_groups`` > 0 keeps the LAST n image-tower groups trainable,
     matching the reference VisionTransformer.lock grouping exactly
     (transformer.py:560-578): group 1 = proj alone, group 2 = last
-    resblock + ln_post, groups 3.. = earlier resblocks from the end."""
+    resblock + ln_post, groups 3.. = earlier resblocks from the end,
+    group n_layers+2 = the stem (conv1 / class_embedding /
+    positional_embedding / ln_pre).
+
+    ``text_unlocked_layers`` > 0 keeps the LAST n text resblocks (plus
+    ln_final and text_projection) trainable — the reference's
+    --lock-text-unlocked-layers semantics, which its HF towers implement
+    (hf_model.py:171-186) but its native TextTransformer.lock silently
+    ignores (transformer.py:881-883); here both tower kinds honor it.
+    ``text_freeze_layer_norm=False`` keeps LayerNorm params inside frozen
+    text modules trainable (hf_model.py:174 behavior).  The reference's
+    freeze-BN/LN *running stats* halves of these flags are no-ops by
+    construction in JAX: LayerNorm has no running stats and frozen-BN
+    batch_stats never update unless passed as mutable (PARITY.md)."""
     unlocked_layers = set()
     proj_unlocked = False
     lnpost_unlocked = False
+    stem_unlocked = False
     if lock_image and unlocked_groups > 0:
         n_layers = len([
             k for k in params.get("visual", {}).get("transformer", {})
@@ -85,12 +106,31 @@ def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
                 "--lock-image-unlocked-groups needs a ViT image tower "
                 "(per-group unlocking is undefined for this tower)"
             )
+        if unlocked_groups > n_layers + 2:
+            raise ValueError(
+                f"--lock-image-unlocked-groups {unlocked_groups} exceeds the "
+                f"{n_layers + 2} lock groups of this tower"
+            )
         proj_unlocked = True                       # group 1: proj
         if unlocked_groups >= 2:                   # group 2: last block + ln_post
             lnpost_unlocked = True
+        if unlocked_groups >= n_layers + 2:        # final group: the stem
+            stem_unlocked = True
         for i in range(max(0, unlocked_groups - 1)):
             if i < n_layers:
                 unlocked_layers.add(f"resblocks_{n_layers - 1 - i}")
+
+    text_unlocked = set()
+    if lock_text and text_unlocked_layers > 0:
+        n_text = len([
+            k for k in params.get("text", {}).get("transformer", {})
+            if k.startswith("resblocks_")
+        ])
+        for i in range(min(text_unlocked_layers, n_text)):
+            text_unlocked.add(f"resblocks_{n_text - 1 - i}")
+
+    _STEM = ("conv1_kernel", "conv1_bias", "class_embedding",
+             "positional_embedding", "ln_pre")
 
     def mark(path, leaf):
         names = [p.key for p in path if hasattr(p, "key")]
@@ -100,10 +140,24 @@ def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
                 return False
             if lnpost_unlocked and "ln_post" in names:
                 return False
+            if stem_unlocked and any(n in _STEM for n in names):
+                return False
             if any(n in unlocked_layers for n in names):
                 return False
             return True
         if lock_text and top == "text":
+            if text_unlocked_layers > 0:
+                if any(n in text_unlocked for n in names):
+                    return False
+                if any(
+                    n == "ln_final" or n.startswith("text_projection")
+                    for n in names
+                ):
+                    return False
+            if not text_freeze_layer_norm and any(
+                n.startswith("ln_") for n in names
+            ):
+                return False
             return True
         return False
 
@@ -121,6 +175,8 @@ def create_optimizer(
     lock_image: bool = False,
     lock_text: bool = False,
     lock_image_unlocked_groups: int = 0,
+    lock_text_unlocked_layers: int = 0,
+    lock_text_freeze_layer_norm: bool = True,
 ) -> optax.GradientTransformation:
     txs = []
     if grad_clip_norm is not None:
@@ -142,20 +198,34 @@ def create_optimizer(
                 lambda params: frozen_mask(
                     params, lock_image, lock_text,
                     lock_image_unlocked_groups,
+                    lock_text_unlocked_layers,
+                    lock_text_freeze_layer_norm,
                 ),
             )
         )
     return optax.chain(*txs)
 
 
-def create_train_state(params, optimizer) -> TrainState:
-    """Student + EMA teacher (initialized as a copy — main.py:280) + opt."""
-    return TrainState(
+def create_train_state(params, optimizer, mesh: Optional[Mesh] = None) -> TrainState:
+    """Student + EMA teacher (initialized as a copy — main.py:280) + opt.
+
+    Pass ``mesh`` to commit the state replicated onto it up front: the
+    step's FIRST call then compiles with the steady-state input shardings.
+    Without it, jit compiles once for the uncommitted host arrays and a
+    SECOND time (with donation aliasing — measured ~10 min for the
+    ViT-B-16 COSMOS step on v5e) when the first call's sharded outputs
+    feed call two."""
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         teacher_params=jax.tree.map(jnp.copy, params),
         opt_state=optimizer.init(params),
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    return state
 
 
 def _clamp_logit_scales(params):
@@ -175,6 +245,17 @@ def _views(x: jax.Array, v: int) -> jax.Array:
 class TrainStepConfig:
     cosmos: bool = True
     siglip: bool = False
+    # model distillation from a SECOND frozen CLIP (reference
+    # --distill-model/--distill-pretrained, main.py:232-240, train.py:75-76,
+    # loss.py:256-292).  The step then takes (state, batch, dist_params).
+    distill: bool = False
+    # CoCa captioning: contrastive + teacher-forced caption CE through the
+    # generic loss(**model_out) path (reference train.py:162-190,
+    # factory.py:372-397)
+    coca: bool = False
+    coca_caption_loss_weight: float = 2.0
+    coca_contrastive_loss_weight: float = 1.0
+    coca_pad_id: int = 0
     local_loss: bool = False
     gather_with_grad: bool = True
     momentum_schedule: Optional[Callable] = None   # step -> momentum
@@ -200,14 +281,28 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Mesh,
     cfg: TrainStepConfig,
+    dist_model=None,
 ):
-    """Returns jitted (state, batch) -> (state, metrics).
+    """Returns jitted (state, batch) -> (state, metrics) — or, with
+    ``cfg.distill``, (state, batch, dist_params) -> (state, metrics) where
+    ``dist_params`` is the frozen distillation teacher's param pytree
+    (kept OUT of TrainState: it is never updated, checkpointed, or donated).
 
     Batch layout (views-leading, batch axis sharded over the mesh):
       global_images [2, B, H, W, 3]
       local_images  [n, B, h, w, 3]   (optional)
       texts         [k, B, L] int32
     """
+    if sum((cfg.cosmos, cfg.siglip, cfg.distill, cfg.coca)) > 1:
+        raise ValueError(
+            "cosmos / siglip / distill / coca train modes are exclusive"
+        )
+    if cfg.distill and dist_model is None:
+        raise ValueError("cfg.distill needs the frozen dist_model module")
+    if cfg.accum_freq > 1 and (cfg.distill or cfg.coca):
+        # reference asserts accum_freq == 1 for distillation (main.py:236);
+        # CoCa accumulation would need the caption-CE denominators split
+        raise ValueError("accum_freq > 1 unsupported with distill/coca")
     if cfg.cosmos:
         loss_obj = COSMOSLoss(
             local_loss=cfg.local_loss,
@@ -217,6 +312,21 @@ def make_train_step(
     elif cfg.siglip:
         # pairwise sigmoid loss with the ppermute negatives ring
         loss_obj = SigLipLoss(axis_name=DATA_AXIS)
+    elif cfg.distill:
+        loss_obj = DistillClipLoss(
+            local_loss=cfg.local_loss,
+            gather_with_grad=cfg.gather_with_grad,
+            axis_name=DATA_AXIS,
+        )
+    elif cfg.coca:
+        loss_obj = CoCaLoss(
+            caption_loss_weight=cfg.coca_caption_loss_weight,
+            clip_loss_weight=cfg.coca_contrastive_loss_weight,
+            pad_id=cfg.coca_pad_id,
+            local_loss=cfg.local_loss,
+            gather_with_grad=cfg.gather_with_grad,
+            axis_name=DATA_AXIS,
+        )
     else:
         loss_obj = ClipLoss(
             local_loss=cfg.local_loss,
@@ -233,7 +343,7 @@ def make_train_step(
             return ((x.astype(jnp.float32) - mean) * inv_std).astype(cfg.input_dtype)
         return x.astype(cfg.input_dtype)
 
-    def _loss_fn(params, teacher_params, batch, step):
+    def _loss_fn(params, teacher_params, batch, step, dist_params=None):
         g = batch["global_images"]          # [2, B, H, W, 3]
         vg, b = g.shape[0], g.shape[1]
         g_flat = _prep_images(g.reshape((vg * b,) + g.shape[2:]))
@@ -287,6 +397,37 @@ def make_train_step(
                 _views(s_out["text_features"], k)[0],
                 s_out["logit_scale"],
                 s_out.get("logit_bias"),
+                output_dict=True,
+            )
+        elif cfg.coca:
+            # CoCa trains on single-view batches (crop 0 / caption 0): the
+            # decoder CE is per-caption and the reference CoCa recipe uses
+            # plain (non-multicrop) transforms (coca_model.py:157-191)
+            s_out = model.apply(
+                {"params": params}, g_flat[:b], t[0], output_labels=True
+            )
+            losses = loss_obj(
+                s_out["image_features"],
+                s_out["text_features"],
+                s_out["logits"],
+                s_out["labels"],
+                s_out["logit_scale"],
+                output_dict=True,
+            )
+        elif cfg.distill:
+            # frozen distillation teacher forward on the same views
+            # (reference train.py:148-166); stop_gradient inside the loss
+            s_out = model.apply({"params": params}, g_flat, t_flat, l_flat)
+            d_out = dist_model.apply(
+                {"params": dist_params}, g_flat, t_flat, l_flat
+            )
+            losses = loss_obj(
+                _views(s_out["image_features"], vg + vl),
+                _views(s_out["text_features"], k),
+                s_out["logit_scale"],
+                _views(d_out["image_features"], vg + vl),
+                _views(d_out["text_features"], k),
+                d_out["logit_scale"],
                 output_dict=True,
             )
         else:
@@ -386,7 +527,9 @@ def make_train_step(
         grads = jax.tree_util.tree_map_with_path(_fix, grads)
         return total, aux, grads
 
-    def _step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    def _step(
+        state: TrainState, batch, dist_params=None
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         if cfg.accum_freq > 1 and not cfg.cosmos and not cfg.siglip:
             total, aux, grads = _accum_exact(state, batch)
         elif cfg.accum_freq > 1:
@@ -420,7 +563,8 @@ def make_train_step(
             grads = jax.tree.map(lambda x: x * inv, grads)
         else:
             (total, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-                state.params, state.teacher_params, batch, state.step
+                state.params, state.teacher_params, batch, state.step,
+                dist_params,
             )
         grads = jax.lax.pmean(grads, DATA_AXIS)
         total = jax.lax.pmean(total, DATA_AXIS)
@@ -465,8 +609,17 @@ def make_train_step(
     batch_spec = (
         P(None, None, DATA_AXIS) if cfg.accum_freq > 1 else P(None, DATA_AXIS)
     )  # prefix spec: the batch axis of every leaf
+    if cfg.distill:
+        sharded_step = shard_map(
+            _step,
+            mesh=mesh,
+            in_specs=(P(), batch_spec, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded_step, donate_argnums=(0,))
     sharded_step = shard_map(
-        _step,
+        lambda state, batch: _step(state, batch),
         mesh=mesh,
         in_specs=(P(), batch_spec),
         out_specs=(P(), P()),
