@@ -177,7 +177,13 @@ def create_model_and_transforms(
 
 def create_loss(args):
     """Loss dispatch by trainer args (factory.py:372-407)."""
-    from cosmos_tpu.losses import ClipLoss, CoCaLoss, COSMOSLoss, SigLipLoss
+    from cosmos_tpu.losses import (
+        ClipLoss,
+        CoCaLoss,
+        COSMOSLoss,
+        DistillClipLoss,
+        SigLipLoss,
+    )
 
     if getattr(args, "cosmos", False):
         return COSMOSLoss(
@@ -186,6 +192,11 @@ def create_loss(args):
         )
     if getattr(args, "siglip", False):
         return SigLipLoss()
+    if getattr(args, "distill", False) or getattr(args, "distill_model", None):
+        return DistillClipLoss(
+            local_loss=args.local_loss,
+            gather_with_grad=args.gather_with_grad,
+        )
     if "coca" in getattr(args, "model", "").lower():
         return CoCaLoss(
             caption_loss_weight=args.coca_caption_loss_weight,

@@ -105,7 +105,15 @@ def parse_args(args=None):
     add("--force-quick-gelu", action="store_true", default=False)
     add("--force-patch-dropout", type=float, default=None)
     add("--force-image-size", type=int, default=None)
-    add("--use-flash-attention", action="store_true", default=False)
+    # tri-state routing for the packed-QKV Pallas kernel: 'auto' (default)
+    # enables it on TPU backends only; 'off' forces the exact-softmax XLA
+    # path (e.g. when debugging a diverging run — the kernel's max-free
+    # softmax differs only in logit-collapse regimes); 'on' forces the
+    # kernel even on CPU (interpret mode)
+    add("--flash-attention", type=str, default="auto",
+        choices=["auto", "on", "off"])
+    add("--use-flash-attention", action="store_true", default=False,
+        help="deprecated alias for --flash-attention on")
     add("--trace", action="store_true", default=False,
         help="AOT-export the jitted encoders to StableHLO for serving "
              "(reference --trace / torch.jit.trace, params.py:350-353)")
@@ -120,10 +128,28 @@ def parse_args(args=None):
     add("--lock-image", action="store_true", default=False)
     add("--lock-image-unlocked-groups", type=int, default=0)
     add("--lock-text", action="store_true", default=False)
+    add("--lock-text-unlocked-layers", type=int, default=0,
+        help="leave the last n text resblocks (+ ln_final/text_projection) "
+             "trainable under --lock-text (reference params.py:441-445)")
+    # the reference pairs these with freeze-RUNNING-STATS semantics; in JAX
+    # LN has no running stats and frozen-BN stats never update unless
+    # passed as mutable, so only the param-freezing half has effect here
+    add("--lock-text-freeze-layer-norm", action="store_true", default=False,
+        help="also freeze LayerNorm params inside locked text modules "
+             "(reference hf_model.py:174; native reference towers always "
+             "freeze them)")
+    add("--lock-image-freeze-bn-stats", action="store_true", default=False,
+        help="accepted for launch-script parity; BN running stats are "
+             "frozen by construction in this framework (PARITY.md)")
     add("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
     add("--siglip", action="store_true", default=False)
     add("--coca-caption-loss-weight", type=float, default=2.0)
     add("--coca-contrastive-loss-weight", type=float, default=1.0)
+
+    # model distillation from a second frozen CLIP (reference
+    # params.py:495-502, main.py:289-296): both flags or neither
+    add("--distill-model", type=str, default=None)
+    add("--distill-pretrained", type=str, default=None)
 
     # COSMOS augmentation + distillation (params.py:275-560)
     add("--use-imagecrop-aug", action="store_true", default=False)
@@ -217,4 +243,20 @@ def parse_args(args=None):
             "--cosmos requires --output-all and --attentional-pool "
             "(the cross-modality heads the COSMOS loss distills through)"
         )
+    # model distillation (reference main.py:232-240: distill excludes the
+    # COSMOS teacher path and gradient accumulation)
+    ns.distill = bool(ns.distill_model and ns.distill_pretrained)
+    if bool(ns.distill_model) != bool(ns.distill_pretrained):
+        parser.error(
+            "--distill-model and --distill-pretrained must be given together"
+        )
+    if ns.distill and (ns.cosmos or ns.siglip):
+        parser.error("--distill-model is incompatible with --cosmos/--siglip")
+    if ns.distill and ns.accum_freq != 1:
+        parser.error("--distill-model requires --accum-freq 1")
+    if "coca" in ns.model.lower() and (ns.cosmos or ns.siglip or ns.distill):
+        parser.error("CoCa models train with the CoCa loss only")
+    # legacy alias folds into the tri-state
+    if ns.use_flash_attention:
+        ns.flash_attention = "on"
     return ns

@@ -74,3 +74,61 @@ def test_beam_search(coca):
     )
     assert toks.shape == (2, 8)
     assert (np.asarray(toks[:, 0]) == 510).all()
+
+
+def test_coca_train_step(coca):
+    """CoCa trains through the generic train step (reference routes CoCa
+    through the same loop via loss(**model_out), train.py:162-190): the
+    caption CE + contrastive losses both appear and the step is finite."""
+    import jax.numpy as jnp
+    from cosmos_tpu.parallel.mesh import create_mesh
+    from cosmos_tpu.training.scheduler import cosine_lr
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    model, params = coca
+    mesh = create_mesh(4)
+    lr = cosine_lr(1e-3, 0, 100)
+    opt = create_optimizer(lr, weight_decay=0.0)
+    cfg = TrainStepConfig(
+        cosmos=False, coca=True,
+        coca_caption_loss_weight=2.0, coca_contrastive_loss_weight=1.0,
+        lr_schedule=lr,
+    )
+    step = make_train_step(model, opt, mesh, cfg)
+    state = create_train_state(jax.tree.map(jnp.copy, params), opt)
+    b = 8
+    batch = {
+        "global_images": jax.random.normal(
+            jax.random.PRNGKey(0), (1, b, 32, 32, 3)
+        ),
+        "texts": jax.random.randint(jax.random.PRNGKey(1), (1, b, 12), 1, 511),
+    }
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))
+        assert "caption_loss" in m and "contrastive_loss" in m
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 4
+
+
+def test_coca_main_dispatch():
+    """main.py routes coca models into the CoCa loss branch: the parsed
+    args reject incompatible modes and create_loss returns CoCaLoss."""
+    import pytest
+    from cosmos_tpu.models.factory import create_loss
+    from cosmos_tpu.training.params import parse_args
+
+    args = parse_args(["--model", "coca_ViT-B-32",
+                       "--coca-caption-loss-weight", "1.5"])
+    loss = create_loss(args)
+    assert isinstance(loss, CoCaLoss)
+    assert loss.caption_loss_weight == 1.5
+    with pytest.raises(SystemExit):
+        parse_args(["--model", "coca_ViT-B-32", "--siglip"])
