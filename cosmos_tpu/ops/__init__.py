@@ -9,7 +9,6 @@ Measured guidance (v5e, CC3M bench step — see README "perf campaign"):
   - int8 ops are for offline export / custom serving stacks.
 """
 
-from cosmos_tpu.ops.flash_attention import flash_attention
 from cosmos_tpu.ops.fused_attention import fused_attention_qkv
 from cosmos_tpu.ops.int8 import (
     int8_matmul,
@@ -20,7 +19,6 @@ from cosmos_tpu.ops.int8 import (
 from cosmos_tpu.ops.layer_norm import fused_layer_norm
 
 __all__ = [
-    "flash_attention",
     "fused_attention_qkv",
     "fused_layer_norm",
     "int8_matmul",

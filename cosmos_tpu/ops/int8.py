@@ -91,3 +91,36 @@ def quantize_dense_params(params: Dict, min_size: int = 1 << 16) -> Dict:
         return out
 
     return walk(params)
+
+
+def dequantize_dense_params(params: Dict) -> Dict:
+    """Inverse of quantize_dense_params: fold {name_int8, name_scale} pairs
+    back into float kernels — the load side of weight-only int8 compression
+    (the reference's replace_linear analog for a 4x-smaller checkpoint)."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif k.endswith("_int8"):
+                base = k[: -len("_int8")]
+                scale = node[base + "_scale"]
+                out[base] = (v.astype(jnp.float32) * scale).astype(jnp.float32)
+            elif k.endswith("_scale") and (k[: -len("_scale")] + "_int8") in node:
+                continue
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)
+
+
+def quantized_bytes(params: Dict) -> Tuple[int, int]:
+    """(bytes after int8 quantization, bytes at f32) for a param tree."""
+    q = quantize_dense_params(params)
+    after = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(q))
+    before = sum(x.size * 4 for x in jax.tree.leaves(params))
+    return after, before

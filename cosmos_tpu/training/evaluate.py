@@ -276,14 +276,24 @@ def evaluate_on_split(
     loss uses per-batch diagonal labels like the reference."""
     import jax.numpy as jnp
 
-    @jax.jit
-    def batch_feats(p, images, texts):
-        out = model.apply({"params": p}, images, texts)
-        return (
-            out["image_features"],
-            out["text_features"],
-            out["logit_scale"],
-        )
+    # the jitted feature fn lives in the same LRU as the encoders: a fresh
+    # @jax.jit closure per evaluate_on_split call would recompile the full
+    # forward every --val-frequency epochs (minutes on TPU)
+    cache_key = ("val_feats", id(model))
+    if cache_key not in _ENCODER_CACHE:
+        @jax.jit
+        def batch_feats(p, images, texts):
+            out = model.apply({"params": p}, images, texts)
+            return (
+                out["image_features"],
+                out["text_features"],
+                out["logit_scale"],
+            )
+
+        while len(_ENCODER_CACHE) >= _ENCODER_CACHE_MAX:
+            _ENCODER_CACHE.pop(next(iter(_ENCODER_CACHE)))
+        _ENCODER_CACHE[cache_key] = batch_feats
+    batch_feats = _ENCODER_CACHE[cache_key]
 
     all_img, all_txt = [], []
     cumulative_loss = 0.0

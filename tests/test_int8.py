@@ -38,3 +38,31 @@ def test_quantize_dense_params_walk():
     assert "proj_int8" in out["visual"] and "proj_scale" in out["visual"]
     assert out["visual"]["proj_int8"].dtype == jnp.int8
     assert "kernel" in out["small"]  # too small: untouched
+
+
+def test_quantize_dequantize_roundtrip():
+    """Weight-only compression (the bench_infer --int8 load path): the
+    dequantized tree has the original structure and <1% relative error on
+    every quantized kernel."""
+    import numpy as np
+    from cosmos_tpu.ops.int8 import (
+        dequantize_dense_params,
+        quantize_dense_params,
+        quantized_bytes,
+    )
+
+    rng = np.random.default_rng(0)
+    params = {
+        "visual": {"proj": jnp.asarray(rng.normal(size=(512, 512)), jnp.float32)},
+        "ln": {"scale": jnp.ones((512,))},
+    }
+    q = quantize_dense_params(params, min_size=1024)
+    assert "proj_int8" in q["visual"] and "proj_scale" in q["visual"]
+    back = dequantize_dense_params(q)
+    assert set(back["visual"]) == {"proj"}
+    err = np.abs(np.asarray(back["visual"]["proj"]) - np.asarray(params["visual"]["proj"]))
+    denom = np.abs(np.asarray(params["visual"]["proj"])).max()
+    assert err.max() / denom < 0.01
+    np.testing.assert_array_equal(np.asarray(back["ln"]["scale"]), 1.0)
+    after, before = quantized_bytes(params)
+    assert after < before / 3

@@ -308,3 +308,61 @@ def test_lock_image_unlocked_groups():
         v is True
         for v in jax.tree.leaves(mask1["visual"]["transformer"]["resblocks_1"])
     )
+
+
+def test_lock_image_stem_group_and_range():
+    """The final lock group is the stem (reference transformer.py:565-571):
+    unlocked_groups == n_layers+2 unlocks conv1/class/pos/ln_pre; out-of-
+    range counts raise instead of silently no-opping."""
+    from cosmos_tpu.training.train import frozen_mask
+
+    model, params = create_model("ViT-B-16", **TINY)   # 2 vision layers
+    full = frozen_mask(params, lock_image=True, unlocked_groups=4)
+    assert full["visual"]["conv1_kernel"] is False
+    assert full["visual"]["class_embedding"] is False
+    assert full["visual"]["positional_embedding"] is False
+    assert all(v is False for v in jax.tree.leaves(full["visual"]))
+    near = frozen_mask(params, lock_image=True, unlocked_groups=3)
+    assert near["visual"]["conv1_kernel"] is True      # stem still locked
+    assert all(
+        v is False
+        for v in jax.tree.leaves(near["visual"]["transformer"])
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        frozen_mask(params, lock_image=True, unlocked_groups=5)
+
+
+def test_lock_text_unlocked_layers():
+    """--lock-text-unlocked-layers keeps the last n text resblocks (plus
+    ln_final / text_projection) trainable; embeddings + earlier blocks
+    freeze.  --lock-text-freeze-layer-norm=False exempts LN params inside
+    the frozen modules (reference hf_model.py:171-186 semantics)."""
+    from cosmos_tpu.training.train import frozen_mask
+
+    model, params = create_model("ViT-B-16", **TINY)   # 2 text layers
+    mask = frozen_mask(params, lock_text=True, text_unlocked_layers=1)
+    assert all(
+        v is False
+        for v in jax.tree.leaves(mask["text"]["transformer"]["resblocks_1"])
+    )
+    assert all(
+        v is True
+        for v in jax.tree.leaves(mask["text"]["transformer"]["resblocks_0"])
+    )
+    assert mask["text"]["ln_final"]["scale"] is False
+    assert mask["text"]["text_projection_kernel"] is False
+    assert mask["text"]["token_embedding"]["embedding"] is True
+    assert mask["text"]["positional_embedding"] is True
+    # the visual tower is untouched
+    assert all(v is False for v in jax.tree.leaves(mask["visual"]))
+
+    # LN exemption inside frozen blocks
+    soft = frozen_mask(params, lock_text=True, text_unlocked_layers=0,
+                       text_freeze_layer_norm=False)
+    assert soft["text"]["transformer"]["resblocks_0"]["ln_1"]["scale"] is False
+    assert soft["text"]["transformer"]["resblocks_0"]["attn"][
+        "in_proj_kernel"] is True
+
+    # full text lock (default) freezes everything including LNs
+    hard = frozen_mask(params, lock_text=True)
+    assert all(v is True for v in jax.tree.leaves(hard["text"]))

@@ -46,3 +46,23 @@ def test_val_loader_and_eval(tmp_path):
     assert np.isfinite(metrics["val_clip_val_loss"])
     assert metrics["val_num_samples"] == 10
     assert "val_image_to_text_R@1" in metrics
+
+
+def test_val_eval_jit_cached(tmp_path):
+    """A second evaluate_on_split on the same model reuses the cached jitted
+    feature fn (no fresh @jax.jit closure -> no recompile each
+    --val-frequency epoch)."""
+    from cosmos_tpu.training import evaluate as ev
+
+    shard = _make_val_shard(tmp_path / "val.tar", 8)
+    loader = WdsValLoader([shard], batch_size=4, image_size=32,
+                          context_length=16)
+    model, params = create_model("ViT-Tiny-Test")
+    ev._ENCODER_CACHE.clear()
+    evaluate_on_split(model, params, loader, keyword="a")
+    fn1 = ev._ENCODER_CACHE[("val_feats", id(model))]
+    n1 = fn1._cache_size()
+    evaluate_on_split(model, params, loader, keyword="b")
+    fn2 = ev._ENCODER_CACHE[("val_feats", id(model))]
+    assert fn1 is fn2
+    assert fn2._cache_size() == n1  # same signatures -> zero new compiles

@@ -145,10 +145,6 @@ def main():
                "flash+fuseln": {"use_flash": True, "fuse_ln": True}}
     if name in feature:
         model_kwargs = feature[name]
-    elif name == "blhd":
-        import cosmos_tpu.models.attention as att
-
-        att.BLHD_LAYOUT = True
     else:
         apply_variant(name)
     step_fn, state, batch, b, n_dev = build_step(**model_kwargs)

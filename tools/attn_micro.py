@@ -48,12 +48,6 @@ def xla_attn_nohead_transpose(q, k, v):
     return out.transpose(0, 2, 1, 3)
 
 
-def flash(q, k, v):
-    from cosmos_tpu.ops.flash_attention import flash_attention
-
-    return flash_attention(q, k, v, False, False)
-
-
 def bf16_softmax(q, k, v):
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
@@ -76,7 +70,6 @@ FNS = {
     "xla": xla_attn,
     "jnn": jnn_attn,
     "xla_blhd": xla_attn_nohead_transpose,
-    "flash": flash,
     "bf16sm": bf16_softmax,
 }
 

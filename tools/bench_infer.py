@@ -4,7 +4,15 @@ Measures image-encode and text-encode throughput for the flagship
 ViT-B-16 on the local chip(s) — the serving-side companion to the
 training bench (bench.py stays the driver's one-line contract).
 
-Usage: python tools/bench_infer.py [model] [batch]
+Usage: python tools/bench_infer.py [model] [batch] [--int8]
+
+--int8 serves from weight-only int8-compressed params (the reference's
+bitsandbytes replace_linear analog, utils.py:66-88): every large Dense
+kernel is quantized to int8 + per-channel scales (4x smaller checkpoint)
+and dequantized at load.  Reports the compressed size and the embedding
+drift vs the f32 weights alongside throughput.  The int8-compute matmul
+path (ops.int8_matmul) is deliberately NOT used for serving: measured 2x
+slower than bf16 through XLA on v5e (see ops/int8.py docstring).
 """
 
 import json
@@ -22,9 +30,27 @@ import numpy as np
 def main():
     from cosmos_tpu.models.factory import create_model
 
-    name = sys.argv[1] if len(sys.argv) > 1 else "ViT-B-16"
-    b = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    argv = [a for a in sys.argv[1:] if a != "--int8"]
+    use_int8 = "--int8" in sys.argv[1:]
+    name = argv[0] if len(argv) > 0 else "ViT-B-16"
+    b = int(argv[1]) if len(argv) > 1 else 256
     model, params = create_model(name, precision="bf16")
+
+    int8_info = {}
+    if use_int8:
+        from cosmos_tpu.ops.int8 import (
+            dequantize_dense_params,
+            quantize_dense_params,
+            quantized_bytes,
+        )
+
+        after, before = quantized_bytes(params)
+        f32_params = params
+        params = dequantize_dense_params(quantize_dense_params(params))
+        int8_info = {
+            "int8_ckpt_mb": round(after / 1e6, 1),
+            "f32_ckpt_mb": round(before / 1e6, 1),
+        }
 
     img_fn = jax.jit(lambda p, x: model.apply(
         {"params": p}, x, method=model.encode_image)["image_features"])
@@ -47,7 +73,15 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         results[f"{tag}_per_sec"] = round(b / dt, 1)
         results[f"{tag}_ms_per_batch"] = round(dt * 1e3, 2)
-    print(json.dumps({"model": name, "batch": b, **results}))
+    if use_int8:
+        # embedding drift of the compressed weights (cosine sim to f32)
+        ref = img_fn(f32_params, imgs)
+        got = img_fn(params, imgs)
+        cos = jnp.sum(ref * got, -1) / (
+            jnp.linalg.norm(ref, axis=-1) * jnp.linalg.norm(got, axis=-1)
+        )
+        int8_info["image_embed_cos_vs_f32"] = round(float(cos.mean()), 5)
+    print(json.dumps({"model": name, "batch": b, **results, **int8_info}))
 
 
 if __name__ == "__main__":
