@@ -18,17 +18,25 @@ as a static 64-lane sub-window in VMEM, no HBM transpose ever exists, and
 the projections regain their canonical fast layouts.
 
 Kernel shape rules:
-  - grid over batch blocks only; a block's whole [b, L, 3D] slab sits in
-    VMEM (CLIP sequences are short: L in {197, 77, 37, 196, 50}); the
-    block is capped at 4 — Mosaic's compile time explodes superlinearly
-    past that (777s for one blk=8 kernel vs 3.8s at blk=4 on v5e) for a
-    <2% runtime gain;
-  - unrolled head loop; per head one [b,L,64]x[b,L,64] batched MXU matmul,
-    f32 softmax in VMEM, one PV matmul, result written into the head's
-    64-lane slice of the output block;
-  - backward recomputes probabilities (flash-style) and writes the packed
-    ``d(qkv)`` [B, L, 3D] — handing the in-projection's backward matmuls
-    the same clean layout.
+  - FORWARD: grid over (batch blocks, head groups).  q, k, v enter as
+    three [blk, L, hg*dh] block views of the packed array (three in_specs
+    whose index maps select the q/k/v third + head-group column), so the
+    per-step VMEM working set is heads/hg times smaller than a whole-row
+    slab.  That is a compile-time fix as much as a memory one: Mosaic's
+    compile time explodes superlinearly with block working set (777s for
+    one monolithic blk=8 all-heads kernel vs 2.9s for the head-grid shape
+    at the same blk=8 on v5e).  Per head one [b,L,64]x[b,L,64] batched
+    MXU matmul, f32 softmax in VMEM, one PV matmul, result written into
+    the head's 64-lane slice of the output block.
+  - BACKWARD: grid over batch blocks only (capped at 4 — the same Mosaic
+    blowup applies), whole [b, L, 3D] slab resident; recomputes
+    probabilities (flash-style) and writes the packed ``d(qkv)``
+    [B, L, 3D] — handing the in-projection's backward matmuls the same
+    clean layout.  (A head-grid backward would need three separate dq/dk/
+    dv outputs plus an HBM concat per call; measured-not-worth-it.)
+  - CLIP sequences are short (L in {197, 77, 37, 196, 50}); supported()
+    bounds L by the blk=1 backward working set and routes oversized
+    shapes to the XLA path.
 
 The CSA segmentation variant and the cross-attention poolers keep the XLA
 path (eval-only / tiny).
@@ -90,14 +98,22 @@ def _softmax_rows(s: jax.Array) -> jax.Array:
     return e / (jnp.sum(e, -1, keepdims=True) + 1e-30)
 
 
-def _fwd_kernel(qkv_ref, o_ref, *, heads, dh, scale, causal):
-    l = qkv_ref.shape[1]
-    d = heads * dh
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, hg, dh, scale, causal):
+    """One (batch-block, head-group) grid step: hg heads of attention.
+
+    q/k/v arrive as three [blk, L, hg*dh] BLOCK VIEWS of the same packed
+    [B, L, 3D] array (three in_specs whose index maps pick the q-, k- and
+    v-third plus the head-group column) — no slicing copy, no transpose,
+    and the per-step VMEM working set is heads/hg times smaller than a
+    whole-row block.  That working-set drop is what kills the Mosaic
+    compile blowup: the monolithic all-heads kernel took 777s to compile
+    at batch-block 8 on v5e; this shape takes 2.9s."""
+    l = q_ref.shape[1]
     cmask = _causal_add(l, l) if causal else None
-    for h in range(heads):
-        q = qkv_ref[:, :, h * dh:(h + 1) * dh]
-        k = qkv_ref[:, :, d + h * dh:d + (h + 1) * dh]
-        v = qkv_ref[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+    for h in range(hg):
+        q = q_ref[:, :, h * dh:(h + 1) * dh]
+        k = k_ref[:, :, h * dh:(h + 1) * dh]
+        v = v_ref[:, :, h * dh:(h + 1) * dh]
         s = jax.lax.dot_general(
             q, k, _QK_DN, preferred_element_type=jnp.float32
         ) * scale
@@ -149,12 +165,12 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, dh, scale, causal):
 # [128,197,12x64] call)
 _VMEM_LIMIT = 64 * 1024 * 1024
 
-# Mosaic compile time explodes superlinearly in the batch block: measured on
-# v5e (jax 0.9) for the [*,197,2304] fwd kernel, blk=2 -> 1.8s, blk=4 -> 3.8s,
-# blk=8 -> 777s (!).  Round 2 shipped blk=8/16 picks and paid a 25-minute
-# driver warmup for a <2% runtime gain.  Everything >4 is compile-time
-# pathological; cap it.
-_MAX_BLK = 4
+# Mosaic compile time explodes superlinearly in the per-grid-step VMEM
+# working set, measured on v5e (jax 0.9): ~2s at 4MB, ~6s at 8MB, ~11s at
+# 11.5MB, 777s (!) at 13.4MB.  Round 2 shipped a 13.4MB fwd block and paid
+# a 25-minute driver warmup for a <2% runtime gain.  Blocks are therefore
+# picked under a COMPILE-SAFE working-set budget, not a fixed batch count.
+_COMPILE_SAFE_WS = 12 * 1024 * 1024
 
 
 def _working_set(blk: int, l: int, d: int, dh: int, itemsize: int,
@@ -170,12 +186,12 @@ def _working_set(blk: int, l: int, d: int, dh: int, itemsize: int,
 
 def _pick_block(batch: int, l: int, d: int, dh: int, itemsize: int,
                 backward: bool) -> int:
-    """Largest compile-time-safe batch block under the VMEM budget."""
-    budget = 14 * 1024 * 1024
-    for b in (_MAX_BLK, 2, 1):
+    """Largest compile-time-safe batch block (backward kernel only — the
+    forward uses the head-grid scheme with _fwd_block)."""
+    for b in (16, 8, 4, 2, 1):
         if batch % b:
             continue
-        if _working_set(b, l, d, dh, itemsize, backward) <= budget:
+        if _working_set(b, l, d, dh, itemsize, backward) <= _COMPILE_SAFE_WS:
             return b
     return 1
 
@@ -190,6 +206,8 @@ def supported(num_heads: int, d: int, l: Optional[int] = None) -> bool:
     XLA formulation (mirrors layer_norm.supported()'s bound)."""
     dh = d // num_heads
     if dh * num_heads != d or dh not in _OK_DH:
+        return False
+    if _head_group(num_heads, dh) == 0:
         return False
     if l is not None:
         # itemsize 2 (bf16) is the layout every training path uses; f32
@@ -220,23 +238,61 @@ def fused_attention_qkv(
     return _fa_fwd(qkv, num_heads, causal, interpret)[0]
 
 
+def _head_group(num_heads: int, dh: int) -> int:
+    """Heads per forward grid step: the widest group whose lane width is a
+    multiple of 128 (Mosaic's block constraint) and divides the head count.
+    dh=64 -> 4 (or 2); dh=128 -> 2 (or 1)."""
+    for hg in (4, 2, 1):
+        if num_heads % hg == 0 and (hg * dh) % 128 == 0:
+            return hg
+    return 0
+
+
+def _fwd_ws(blk: int, l: int, w: int, itemsize: int) -> int:
+    """Per-grid-step VMEM bytes for the head-grid forward: three q/k/v
+    block views + the out block + the f32 probability matrices."""
+    return blk * (4 * l * w * itemsize + 2 * l * l * 4)
+
+
+def _fwd_block(batch: int, l: int, w: int, itemsize: int) -> int:
+    """Forward batch block for the head-grid kernel: the largest divisor
+    of the batch whose working set stays compile-safe (≈10MB leaves
+    double-buffer headroom).  Bigger blocks amortize per-grid-step DMA
+    latency — blk=4 measured 6x slower than blk=8 at L=197, and short
+    sequences (L=37/77) want far larger blocks still."""
+    for b in (96, 64, 48, 32, 16, 8, 4, 2, 1):
+        if batch % b:
+            continue
+        if _fwd_ws(b, l, w, itemsize) <= 10 * 1024 * 1024:
+            return b
+    return 1
+
+
 def _fa_fwd(qkv, num_heads, causal, interpret):
     b, l, d3 = qkv.shape
     d = d3 // 3
     dh = d // num_heads
-    blk = _pick_block(b, l, d, dh, qkv.dtype.itemsize, backward=False)
+    hg = _head_group(num_heads, dh)
+    ng = num_heads // hg
+    w = hg * dh
+    blk = _fwd_block(b, l, w, qkv.dtype.itemsize)
+    spec_q = pl.BlockSpec((blk, l, w), lambda i, g: (i, 0, g),
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((blk, l, w), lambda i, g: (i, 0, ng + g),
+                          memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((blk, l, w), lambda i, g: (i, 0, 2 * ng + g),
+                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=num_heads, dh=dh,
+        functools.partial(_fwd_kernel, hg=hg, dh=dh,
                           scale=dh ** -0.5, causal=causal),
-        grid=(b // blk,),
-        in_specs=[pl.BlockSpec((blk, l, d3), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((blk, l, d), lambda i: (i, 0, 0),
+        grid=(b // blk, ng),
+        in_specs=[spec_q, spec_k, spec_v],
+        out_specs=pl.BlockSpec((blk, l, w), lambda i, g: (i, 0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
         interpret=_resolve_interpret(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(qkv)
+    )(qkv, qkv, qkv)
     return out, (qkv,)
 
 

@@ -161,3 +161,41 @@ def test_full_towers_match_torch():
     )
     np.testing.assert_allclose(flax_img, torch_img, atol=2e-4)
     np.testing.assert_allclose(flax_txt, torch_txt, atol=2e-4)
+
+
+def test_real_geometry_vit_b16_matches_torch():
+    """The SAME oracle at the actual ViT-B-16 geometry (embed 512; vision
+    224px/16, 12x768, 12 heads; text ctx 77, vocab 49408, 12x512, 8
+    heads): closes the risk that the production configuration hits a
+    different code path (e.g. fused-kernel head-dim edges) than the
+    32-wide test models.  Runs in f32 on CPU (VERDICT r2 item 6)."""
+    model, params = create_model("ViT-B-16", seed=5)
+    sd = params_to_torch_state_dict(params)
+
+    tv = TorchVision(d=768, patch=16, image=224, heads=12, layers=12, out=512)
+    _load_tower(tv, sd, "visual.")
+    tt = TorchText(d=512, vocab=49408, ctx=77, heads=8, layers=12, out=512)
+    _load_tower(tt, sd, "", text=True)
+    tv.eval(), tt.eval()
+
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(2, 224, 224, 3)).astype(np.float32)
+    toks = rng.integers(1, 49407, size=(2, 77)).astype(np.int64)
+    toks[:, -1] = 49407  # EOT argmax pool target
+
+    with torch.no_grad():
+        torch_img = tv(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+        torch_txt = tt(torch.from_numpy(toks)).numpy()
+
+    flax_img = np.asarray(
+        model.apply({"params": params}, jnp.asarray(imgs),
+                    method=model.encode_image)["image_features"]
+    )
+    flax_txt = np.asarray(
+        model.apply({"params": params}, jnp.asarray(toks.astype(np.int32)),
+                    method=model.encode_text)["text_features"]
+    )
+    # 12 layers of f32 accumulation at width 768: slightly looser than the
+    # tiny-geometry bound, far tighter than any bf16 effect
+    np.testing.assert_allclose(flax_img, torch_img, atol=2e-3)
+    np.testing.assert_allclose(flax_txt, torch_txt, atol=2e-3)
