@@ -44,8 +44,8 @@ def build_step(**model_kwargs):
         fix_momentum=True, lr_schedule=lr, input_dtype=jnp.bfloat16,
     )
     step_fn = make_train_step(model, optimizer, mesh, cfg)
-    state = create_train_state(params, optimizer)
-    b = int(os.environ.get("BENCH_BATCH", "64")) * n_dev
+    state = create_train_state(params, optimizer, mesh)
+    b = int(os.environ.get("BENCH_BATCH", "48")) * n_dev
     rng = np.random.default_rng(0)
     batch = {
         "global_images": rng.normal(size=(2, b, 224, 224, 3)).astype(np.float32),
