@@ -85,6 +85,7 @@ class CLIP(nn.Module):
                 proj=v.timm_proj,
                 proj_bias=v.timm_proj_bias,
                 drop=v.timm_drop,
+                drop_path=v.timm_drop_path,
                 dtype=self.dtype,
                 use_flash=self.use_flash,
                 name="visual",

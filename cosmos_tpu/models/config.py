@@ -50,6 +50,7 @@ class VisionCfg:
     timm_proj: str = "linear"         # 'linear' | 'mlp' | 'none'
     timm_proj_bias: bool = False
     timm_drop: float = 0.0
+    timm_drop_path: float = 0.0       # stochastic depth (ConvNeXt trunks)
 
     @property
     def heads(self) -> int:

@@ -28,6 +28,8 @@ def detect_format(sd: Dict[str, Any]) -> str:
         return "open_clip"
     if "cls_token" in keys and "blocks.0.attn.qkv.weight" in keys:
         return "timm_vit"
+    if "stem.0.weight" in keys and "stages.0.blocks.0.conv_dw.weight" in keys:
+        return "timm_convnext"
     return "unknown"
 
 
@@ -205,6 +207,23 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
         out = dict(params)
         visual = dict(params["visual"])
         visual["trunk"] = convert_timm_vit(sd, name)
+        out["visual"] = visual
+        return out
+    if fmt == "timm_convnext":
+        # bare timm ConvNeXt checkpoint -> the native ConvNeXt trunk
+        # (models/convnext.py); text tower/head keep their init
+        from .convnext import convert_timm_convnext, infer_timm_convnext_name
+
+        if "trunk" not in params.get("visual", {}):
+            raise ValueError(
+                "bare timm ConvNeXt checkpoint needs a timm vision tower: "
+                "build the model with vision_cfg timm_model_name "
+                "(e.g. create_model('convnext_base_w'))"
+            )
+        name = infer_timm_convnext_name(sd)
+        out = dict(params)
+        visual = dict(params["visual"])
+        visual["trunk"] = convert_timm_convnext(sd, name)
         out["visual"] = visual
         return out
     if fmt == "mobileclip":

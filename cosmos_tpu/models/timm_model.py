@@ -14,9 +14,12 @@ checkpoints load through ``convert_timm_vit`` (a pure key/layout mapping:
 OIHW patch conv -> HWIO unfold-matmul kernel, [3W, W] packed qkv ->
 transposed [W, 3W] in_proj, blocks.N.* -> resblocks_N.*).
 
-Non-ViT timm trunks (convnext, eva, fastvit, ...) remain unsupported:
-each is a distinct torch-only architecture; ``TIMM_VIT_CONFIGS`` lists
-what this adapter covers and ``register_timm_vit`` extends it.
+Non-ViT trunks: the ConvNeXt family is implemented natively in
+models/convnext.py (the one non-ViT architecture the OpenCLIP config
+family actually ships — convnext_base_w/large_d/xxlarge) and dispatches
+through this adapter by name.  FastViT/EVA remain unsupported torch-only
+architectures; ``TIMM_VIT_CONFIGS``/``CONVNEXT_CONFIGS`` list coverage
+and ``register_timm_vit``/``register_convnext`` extend it.
 """
 
 from __future__ import annotations
@@ -69,18 +72,23 @@ class TimmModel(nn.Module):
     proj: str = "linear"        # 'linear' | 'mlp' | 'none'
     proj_bias: bool = False
     drop: float = 0.0           # head dropout: must be 0 (see setup)
+    drop_path: float = 0.0      # stochastic depth (ConvNeXt trunks only)
     dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
 
     def setup(self):
-        if self.model_name not in TIMM_VIT_CONFIGS:
+        from .convnext import CONVNEXT_CONFIGS
+
+        if (self.model_name not in TIMM_VIT_CONFIGS
+                and self.model_name not in CONVNEXT_CONFIGS):
             raise NotImplementedError(
-                f"timm trunk {self.model_name!r}: only plain ViTs are "
-                f"supported natively ({sorted(TIMM_VIT_CONFIGS)}); register "
-                "additional ViT geometries via register_timm_vit, or use "
-                "the native ViT/ModifiedResNet towers."
+                f"timm trunk {self.model_name!r}: plain ViTs "
+                f"({sorted(TIMM_VIT_CONFIGS)}) and the ConvNeXt family "
+                f"({sorted(CONVNEXT_CONFIGS)}) are supported natively; "
+                "register additional geometries via register_timm_vit / "
+                "register_convnext, or use the native ViT/ModifiedResNet "
+                "towers."
             )
-        g = TIMM_VIT_CONFIGS[self.model_name]
         if self.pool not in ("avg", "token", ""):
             raise ValueError(f"timm_pool {self.pool!r}: use 'avg' or 'token'")
         if self.drop:
@@ -88,6 +96,27 @@ class TimmModel(nn.Module):
                 "timm_drop (head dropout) is not wired into the flax head; "
                 "pass timm_drop=0 (dropout-free heads match the released "
                 "CLIP configs, which train with drop=0)"
+            )
+        if self.model_name in CONVNEXT_CONFIGS:
+            if self.pool == "token":
+                raise ValueError(
+                    "timm_pool 'token': ConvNeXt has no CLS token — use "
+                    "'avg' (the trunk's global-average-pool + head norm)")
+            from .convnext import ConvNeXt
+
+            self.trunk = ConvNeXt(
+                model_name=self.model_name,
+                drop_path_rate=self.drop_path,
+                dtype=self.dtype,
+                name="trunk",
+            )
+            self._build_head()
+            return
+        g = TIMM_VIT_CONFIGS[self.model_name]
+        if self.drop_path:
+            raise NotImplementedError(
+                "timm_drop_path on a plain-ViT trunk is not wired; the "
+                "released ViT CLIP recipes train with drop_path=0"
             )
         from .vit import VisionTransformer
 
@@ -112,6 +141,9 @@ class TimmModel(nn.Module):
             use_flash=self.use_flash,
             name="trunk",
         )
+        self._build_head()
+
+    def _build_head(self):
         if self.proj == "linear":
             self.head = nn.Dense(self.embed_dim, use_bias=self.proj_bias,
                                  dtype=self.dtype, name="head")

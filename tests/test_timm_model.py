@@ -148,7 +148,9 @@ def test_timm_config_dispatch_builds_clip():
 
 
 def test_unsupported_trunk_raises():
-    tower = TimmModel(model_name="convnext_base", embed_dim=32)
+    # ConvNeXt became a native trunk family (models/convnext.py);
+    # FastViT/EVA remain out of scope and must fail at construction
+    tower = TimmModel(model_name="fastvit_t8", embed_dim=32)
     with pytest.raises(NotImplementedError):
         tower.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)))
 
