@@ -227,14 +227,22 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
         out["visual"] = visual
         return out
     if fmt == "mobileclip":
-        # Documented decision: MobileCLIP checkpoints require timm's
-        # FastViT/RepMixer trunks (reference convert.py:142-180 maps onto
-        # a timm image tower), which are torch-only; this framework has no
-        # timm vision path (models/timm_model.py). COSMOS itself never
-        # ships or evaluates MobileCLIP weights, so this stays unsupported
-        # rather than half-mapped.
+        # Documented decision: unsupported.  MobileCLIP-S1/S2 checkpoints
+        # need a FastViT/RepMixer (MCi) image trunk; this framework's
+        # native timm trunks cover ViT (timm_model.py) and ConvNeXt
+        # (convnext.py) geometries but not RepMixer.  Note the reference's
+        # own MobileCLIP path (convert.py:142-180) is DEAD code inherited
+        # from upstream open_clip: the reference ships no MobileCLIP model
+        # config (model_configs/ holds only ViT-B-16/32) and no pretrained
+        # registry entry, so the target model cannot even be constructed
+        # there — and no COSMOS artifact uses MobileCLIP weights.  An
+        # offline FastViT reimplementation could not be validated against
+        # real checkpoints in this environment, so this stays an explicit
+        # refusal rather than an unverifiable half-mapping (PARITY.md).
         raise NotImplementedError(
-            "MobileCLIP conversion is unsupported: it needs a timm "
-            "FastViT trunk (torch-only); no COSMOS artifact uses it"
+            "MobileCLIP conversion is unsupported: it needs a FastViT/"
+            "RepMixer trunk; the reference's own MobileCLIP converter is "
+            "unreachable dead code (no model config or pretrained entry), "
+            "and no COSMOS artifact uses it"
         )
     raise ValueError(f"unrecognized checkpoint format (keys: {list(sd)[:5]})")
