@@ -18,6 +18,7 @@ vs the reference's CHW tensors).  Each transform takes an explicit
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import random as _random
 from dataclasses import dataclass
@@ -296,3 +297,51 @@ def image_transform_eval(image_size: int, mean=None, std=None):
         mean=mean or OPENAI_DATASET_MEAN,
         std=std or OPENAI_DATASET_STD,
     )
+
+
+@dataclasses.dataclass
+class AugmentationCfg:
+    """open_clip-API augmentation config (reference transform.py:64-76).
+
+    ``re_prob``/``re_count`` (timm RandomErasing) and ``use_timm`` need
+    the timm package and are refused at use; everything else maps onto
+    TrainTransform.
+    """
+
+    scale: tuple = (0.9, 1.0)
+    ratio: tuple = None
+    color_jitter: object = None
+    re_prob: float = None
+    re_count: int = None
+    use_timm: bool = False
+    color_jitter_prob: float = None
+    gray_scale_prob: float = None
+
+
+def image_transform(
+    image_size: int,
+    is_train: bool,
+    mean=None,
+    std=None,
+    aug_cfg=None,
+    **_ignored,
+):
+    """Unified dispatcher matching open_clip's image_transform
+    (reference transform.py:277-424): train branch with AugmentationCfg /
+    dict augmentation settings, eval branch resize+center-crop."""
+    if not is_train:
+        return image_transform_eval(image_size, mean=mean, std=std)
+    if dataclasses.is_dataclass(aug_cfg):
+        aug_cfg = {
+            k: v for k, v in dataclasses.asdict(aug_cfg).items()
+            if v is not None and v is not False
+        }
+    aug_cfg = dict(aug_cfg or {})
+    if aug_cfg.get("use_timm") or aug_cfg.get("re_prob") or aug_cfg.get("re_count"):
+        raise NotImplementedError(
+            "timm-specific augmentations (use_timm, re_prob, re_count) "
+            "are unsupported: no timm dependency in this framework"
+        )
+    aug_cfg.pop("use_timm", None)
+    return image_transform_train(image_size, mean=mean, std=std,
+                                 aug_cfg=aug_cfg)

@@ -116,12 +116,33 @@ def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
     return {k: v for k, v in d.items() if k in names}
 
 
+# runtime-registered configs (reference factory.py:77-84 add_model_config)
+_EXTRA_CONFIGS: Dict[str, Dict[str, Any]] = {}
+
+
 def list_models() -> list:
-    return sorted(p.stem for p in _CONFIG_DIR.glob("*.json"))
+    names = {p.stem for p in _CONFIG_DIR.glob("*.json")}
+    names.update(_EXTRA_CONFIGS)
+    return sorted(names)
+
+
+def add_model_config(path) -> None:
+    """Register model config JSON file(s) at runtime (factory.py:77-84):
+    a single ``<name>.json`` file or a directory of them."""
+    from pathlib import Path
+
+    p = Path(path)
+    files = sorted(p.glob("*.json")) if p.is_dir() else [p]
+    for f in files:
+        with open(f) as fh:
+            _EXTRA_CONFIGS[f.stem] = json.load(fh)
 
 
 def get_model_config(name: str) -> Optional[Dict[str, Any]]:
-    path = _CONFIG_DIR / f"{name.replace('/', '-')}.json"
+    key = name.replace("/", "-")
+    if key in _EXTRA_CONFIGS:
+        return dict(_EXTRA_CONFIGS[key])
+    path = _CONFIG_DIR / f"{key}.json"
     if not path.exists():
         return None
     with open(path) as f:

@@ -175,6 +175,80 @@ def create_model_and_transforms(
     return model, params, train_tf, val_tf
 
 
+def create_model_from_pretrained(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    precision: str = "fp32",
+    *,
+    image_mean: Optional[Tuple[float, ...]] = None,
+    image_std: Optional[Tuple[float, ...]] = None,
+    return_transform: bool = True,
+    **kwargs: Any,
+):
+    """Inference-oriented loader (reference factory.py:493-538): a model
+    with pretrained weights plus the EVAL transform only.
+
+    Returns ``(model, params, preprocess)`` — or ``(model, params)`` with
+    ``return_transform=False``.  (The reference returns torch modules with
+    weights inside; params are explicit here.)
+    """
+    from cosmos_tpu.data.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+    from cosmos_tpu.data.transforms import image_transform_eval
+
+    model, params = create_model(model_name, pretrained, precision, **kwargs)
+    if not return_transform:
+        return model, params
+    preprocess = image_transform_eval(
+        model.cfg.vision_cfg.image_size,
+        mean=image_mean or OPENAI_DATASET_MEAN,
+        std=image_std or OPENAI_DATASET_STD,
+    )
+    return model, params, preprocess
+
+
+# per-model preprocess overrides (reference model.py:746-753 mutates
+# module attributes; flax modules are immutable AND unhashable dataclass
+# instances, so the overrides live in an id-keyed side table whose
+# entries die with the model via weakref.finalize)
+_PREPROCESS_OVERRIDES: Dict[int, Dict[str, Any]] = {}
+
+
+def get_model_preprocess_cfg(model) -> Dict[str, Any]:
+    """Preprocess settings a checkpoint consumer needs (model.py:729-743)."""
+    v = model.cfg.vision_cfg
+    from cosmos_tpu.data.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+
+    cfg = {
+        "size": v.image_size,
+        "mode": "RGB",
+        "mean": OPENAI_DATASET_MEAN,
+        "std": OPENAI_DATASET_STD,
+        "interpolation": "bicubic",
+        "resize_mode": "shortest",
+    }
+    cfg.update(_PREPROCESS_OVERRIDES.get(id(model), {}))
+    return cfg
+
+
+def set_model_preprocess_cfg(model, preprocess_cfg: Dict[str, Any]):
+    """Counterpart of model.py:746-753.  Records the checkpoint-carried
+    preprocess settings for ``model`` (returned by
+    get_model_preprocess_cfg); returns the model for chaining."""
+    import weakref
+
+    key = id(model)
+    if key not in _PREPROCESS_OVERRIDES:
+        weakref.finalize(model, _PREPROCESS_OVERRIDES.pop, key, None)
+    _PREPROCESS_OVERRIDES[key] = dict(preprocess_cfg)
+    return model
+
+
+def get_model_tokenize_cfg(model) -> Dict[str, Any]:
+    """Tokenizer geometry of a model (model.py:756-766)."""
+    t = model.cfg.text_cfg
+    return {"context_length": t.context_length, "vocab_size": t.vocab_size}
+
+
 def create_loss(args):
     """Loss dispatch by trainer args (factory.py:372-407)."""
     from cosmos_tpu.losses import (

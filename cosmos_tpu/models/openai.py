@@ -75,6 +75,13 @@ def config_from_openai_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def list_openai_models():
+    """Model names with an 'openai' pretrained tag (openai.py:20-24)."""
+    from .pretrained import list_pretrained_models_by_tag
+
+    return list_pretrained_models_by_tag("openai")
+
+
 def load_openai_model(path: str, precision: str = "fp32"):
     """Torch .pt (jit archive or plain state dict) -> (model, params)."""
     import torch

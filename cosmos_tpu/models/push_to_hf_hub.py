@@ -96,3 +96,29 @@ def push_to_hf_hub(
         return api.upload_folder(
             repo_id=repo_id, folder_path=tmp, commit_message=commit_message
         )
+
+
+def push_pretrained_to_hf_hub(
+    model_name: str,
+    pretrained: str,
+    repo_id: str,
+    *,
+    precision: str = "fp32",
+    commit_message: str = "Add model",
+    token: Optional[str] = None,
+    private: bool = False,
+    model_card: Optional[Dict] = None,
+    **model_kwargs,
+) -> str:
+    """Build ``model_name`` with ``pretrained`` weights, then push
+    (reference push_to_hf_hub.py:160-199)."""
+    from .factory import create_model
+
+    model, params = create_model(
+        model_name, pretrained=pretrained, precision=precision, **model_kwargs
+    )
+    return push_to_hf_hub(
+        model, params, repo_id,
+        commit_message=commit_message, token=token, private=private,
+        model_card=model_card,
+    )

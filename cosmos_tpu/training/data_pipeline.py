@@ -278,6 +278,22 @@ def get_data(
             num_samples=args.val_num_samples,
         )
 
+    if getattr(args, "train_eval_data", None):
+        # train-distribution eval split (reference data.py:923-925): same
+        # val-style reader over TRAIN shards, capped at a fixed sample
+        # count — an overfitting monitor alongside the held-out val loss
+        from cosmos_tpu.data.loader import WdsValLoader
+        from cosmos_tpu.data.webdataset import expand_urls as _expand
+
+        te_urls, _ = _expand(args.train_eval_data)
+        data["train_eval"] = WdsValLoader(
+            te_urls,
+            batch_size=args.batch_size,
+            image_size=image_size,
+            context_length=context_length,
+            num_samples=getattr(args, "train_val_num_samples", 5120),
+        )
+
     eval_tf = EvalTransform(image_size=image_size)
 
     if args.data_root_dir:

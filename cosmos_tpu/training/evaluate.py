@@ -234,10 +234,29 @@ def evaluate(
     zero_shot = bool(zs_freq) and (epoch % zs_freq == 0 or epoch == epochs)
     retrieval = bool(rt_freq) and (epoch % rt_freq == 0 or epoch == epochs)
     student_params = host_local_params(state.params)
-    if "val" in data:
+    eval_teacher = (
+        getattr(args, "eval_teacher", True) and state.teacher_params is not None
+    )
+    teacher_params = (
+        host_local_params(state.teacher_params) if eval_teacher else None
+    )
+    # val loss + (reference train.py:355-374) the train-distribution
+    # eval split, each for the student and the EMA teacher
+    for split, kw in (("val", ""), ("train_eval", "train_eval")):
+        if split not in data:
+            continue
         metrics.update(
-            evaluate_on_split(model, student_params, data["val"], epoch=epoch)
+            evaluate_on_split(
+                model, student_params, data[split], keyword=kw, epoch=epoch
+            )
         )
+        if eval_teacher:
+            metrics.update(
+                evaluate_on_split(
+                    model, teacher_params, data[split],
+                    keyword=f"ema_{kw}" if kw else "ema", epoch=epoch,
+                )
+            )
     metrics.update(
         evaluate_model(
             model, student_params, tokenizer, data,
@@ -245,10 +264,10 @@ def evaluate(
             zero_shot=zero_shot, retrieval=retrieval,
         )
     )
-    if getattr(args, "eval_teacher", True) and state.teacher_params is not None:
+    if eval_teacher:
         metrics.update(
             evaluate_model(
-                model, host_local_params(state.teacher_params), tokenizer,
+                model, teacher_params, tokenizer,
                 data, prefix="ema_", batch_size=args.batch_size, mesh=mesh,
                 zero_shot=zero_shot, retrieval=retrieval,
             )

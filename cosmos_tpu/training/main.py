@@ -40,14 +40,15 @@ def experiment_name(args) -> str:
     if args.name:
         return args.name
     date_str = datetime.datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
-    return "-".join(
-        [
-            date_str,
-            f"model_{args.model.replace('/', '-')}",
-            f"lr_{args.lr}",
-            f"b_{args.batch_size}",
-        ]
-    )
+    parts = [
+        date_str,
+        f"model_{args.model.replace('/', '-')}",
+        f"lr_{args.lr}",
+        f"b_{args.batch_size}",
+    ]
+    if getattr(args, "wandbkeyword", ""):
+        parts.append(f"key_{args.wandbkeyword}")  # reference main.py:117
+    return "-".join(parts)
 
 
 def main(argv=None) -> Dict:
@@ -116,6 +117,26 @@ def main(argv=None) -> Dict:
             for k in sorted(vars(args)):
                 f.write(f"{k}: {getattr(args, k)}\n")
 
+    if is_master and getattr(args, "copy_codebase", False):
+        # reproducibility snapshot (reference main.py:604-619): copy the
+        # installed cosmos_tpu package next to the run's logs
+        import shutil
+
+        import cosmos_tpu as _pkg
+
+        code_dir = os.path.join(log_dir, "code")
+        if os.path.exists(code_dir):
+            logger.warning(f"--copy-codebase: {code_dir} already exists; "
+                           "skipping (use --name for a fresh experiment)")
+        else:
+            src = os.path.dirname(os.path.abspath(_pkg.__file__))
+            shutil.copytree(
+                src, os.path.join(code_dir, "cosmos_tpu"),
+                ignore=shutil.ignore_patterns(
+                    "__pycache__", "*.pyc", "logs", "wandb"),
+            )
+            logger.info(f"copied codebase to {code_dir}")
+
     # --- model -----------------------------------------------------------
     pretrained = args.pretrained
     if args.huggingface_model_name:
@@ -129,6 +150,9 @@ def main(argv=None) -> Dict:
         # SigLIP init: logit scale ln(10), bias -10 (clip_segmentor.py:35-37)
         model_overrides = {"init_logit_scale": float(np.log(10.0)),
                            "init_logit_bias": -10.0}
+    if getattr(args, "pool_type", None):
+        # explicit vision-pooling override (reference factory.py:271)
+        model_overrides["vision_pool_type"] = args.pool_type
     model, params = create_model(
         args.model,
         pretrained=pretrained or None,
@@ -217,15 +241,21 @@ def main(argv=None) -> Dict:
     train_info = data["train"]
     steps_per_epoch = train_info.num_batches
     total_steps = steps_per_epoch * args.epochs
-    lr_schedule = get_lr_scheduler(
-        args.lr_scheduler,
-        args.lr,
-        args.warmup,
-        total_steps,
-        cooldown_steps=steps_per_epoch * (args.epochs_cooldown or 0),
-        cooldown_power=args.lr_cooldown_power,
-        cooldown_end_lr=args.lr_cooldown_end,
-    )
+    if getattr(args, "skip_scheduler", False):
+        # reference train.py:103: no per-step scheduler call — the LR
+        # stays at the base value with no warmup or decay
+        base_lr = float(args.lr)
+        lr_schedule = lambda step: base_lr  # noqa: E731
+    else:
+        lr_schedule = get_lr_scheduler(
+            args.lr_scheduler,
+            args.lr,
+            args.warmup,
+            total_steps,
+            cooldown_steps=steps_per_epoch * (args.epochs_cooldown or 0),
+            cooldown_power=args.lr_cooldown_power,
+            cooldown_end_lr=args.lr_cooldown_end,
+        )
     optimizer = create_optimizer(
         lr_schedule,
         beta1=args.beta1,
@@ -341,6 +371,8 @@ def main(argv=None) -> Dict:
 
             wandb_run = wandb.init(
                 project=args.wandb_project_name,
+                entity=getattr(args, "wandb_entity_name", None),
+                notes=getattr(args, "wandb_notes", ""),
                 name=args.name,
                 config=vars(args),
                 resume="auto",

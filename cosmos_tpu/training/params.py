@@ -50,8 +50,15 @@ def parse_args(args=None):
     add("--train-data", type=str, default=None)
     add("--train-data-upsampling-factors", type=str, default=None)
     add("--val-data", type=str, default=None)
+    add("--train-eval-data", type=str, default=None,
+        help="webdataset shards FROM THE TRAIN DISTRIBUTION to run the "
+             "val-loss eval on each --val-frequency epoch (overfitting "
+             "monitor; reference data.py:923-925, train.py:365-374)")
     add("--train-num-samples", type=int, default=None)
     add("--val-num-samples", type=int, default=None)
+    add("--train-val-num-samples", type=int, default=5120,
+        help="samples drawn from --train-eval-data per eval (the "
+             "reference caps its train_eval splits at 5120)")
     add("--dataset-type", choices=["webdataset", "csv", "coco", "synthetic", "auto"],
         default="auto")
     add("--dataset-resampled", default=False, action="store_true")
@@ -91,6 +98,9 @@ def parse_args(args=None):
     add("--lr-cooldown-end", type=float, default=0.0)
     add("--lr-cooldown-power", type=float, default=1.0)
     add("--grad-clip-norm", type=float, default=None)
+    add("--skip-scheduler", action="store_true", default=False,
+        help="constant base LR — no warmup or decay (reference "
+             "train.py:103 skips the per-step scheduler call)")
     add("--accum-freq", type=int, default=1)
     add("--precision", type=str, default="amp",
         choices=["amp", "amp_bf16", "bf16", "pure_bf16", "fp32", "fp16"])
@@ -125,6 +135,19 @@ def parse_args(args=None):
     # model
     add("--model", type=str, default="ViT-B-16")
     add("--pretrained", type=str, default="")
+    add("--pool-type", type=str, default=None, choices=["tok", "avg", "none"],
+        help="override the vision pooling type (reference params.py:566-571)."
+             " Default keeps the model config's pool_type: the reference "
+             "stomps it with 'tok' unconditionally (factory.py:271), which "
+             "would silently break MAP-pooled SigLIP configs here")
+    add("--force-custom-text", action="store_true", default=False,
+        help="accepted for launch-script parity (reference factory.py:286 "
+             "picks the CustomTextCLIP class, a state-dict-layout choice); "
+             "this framework has one unified model class, so it is a no-op")
+    add("--pretrained-image", action="store_true", default=False,
+        help="reference downloads timm-pretrained image towers at "
+             "construction (factory.py:259-264); unsupported here — load "
+             "a converted timm checkpoint via --pretrained instead")
     add("--lock-image", action="store_true", default=False)
     add("--lock-image-unlocked-groups", type=int, default=0)
     add("--lock-text", action="store_true", default=False)
@@ -202,6 +225,14 @@ def parse_args(args=None):
     add("--report-to", type=str, default="",
         help="comma list: tensorboard,wandb")
     add("--wandb-project-name", type=str, default="cosmos-tpu")
+    add("--wandb-entity-name", type=str, default=None)
+    add("--wandb-notes", type=str, default="")
+    add("--wandbkeyword", type=str, default="",
+        help="extra 'key_<word>' segment in the auto experiment name "
+             "(reference main.py:117)")
+    add("--copy-codebase", action="store_true", default=False,
+        help="snapshot the cosmos_tpu package into <logs>/<name>/code "
+             "for reproducibility (reference main.py:604-619)")
     add("--debug", action="store_true", default=False)
     add("--profile-steps", type=int, default=0,
         help="capture a jax.profiler trace of the first N train steps "
@@ -256,6 +287,12 @@ def parse_args(args=None):
         parser.error("--distill-model requires --accum-freq 1")
     if "coca" in ns.model.lower() and (ns.cosmos or ns.siglip or ns.distill):
         parser.error("CoCa models train with the CoCa loss only")
+    if ns.pretrained_image:
+        parser.error(
+            "--pretrained-image downloads timm weights at construction in "
+            "the reference (factory.py:259-264); unsupported here — convert "
+            "a timm checkpoint offline and pass it via --pretrained"
+        )
     # legacy alias folds into the tri-state
     if ns.use_flash_attention:
         ns.flash_attention = "on"

@@ -19,5 +19,16 @@ def get_input_dtype(precision: str):
     return resolve_dtype(precision)
 
 
+def get_cast_dtype(precision: str):
+    """Manual weight-cast dtype (reference model.py get_cast_dtype):
+    non-None only for the 'pure' manual-mixed modes where the reference
+    casts the weights themselves; amp/fp32 return None."""
+    if precision in ("fp16", "pure_fp16"):
+        return jnp.float16
+    if precision in ("pure_bf16",):
+        return jnp.bfloat16
+    return None
+
+
 def is_mixed_precision(precision: str) -> bool:
     return resolve_dtype(precision) == jnp.bfloat16

@@ -36,6 +36,22 @@ def load_classification_banks() -> Dict:
     return json.loads((_ASSETS / "classification_banks.json").read_text())
 
 
+# open_clip-API metadata constants (reference zero_shot_metadata.py):
+# loaded lazily from the bundled asset.  Templates are '{}'-style format
+# strings — build_zero_shot_classifier accepts those or callables.
+def __getattr__(name: str):
+    if name in ("OPENAI_IMAGENET_TEMPLATES", "SIMPLE_IMAGENET_TEMPLATES",
+                "IMAGENET_CLASSNAMES"):
+        meta = load_imagenet_metadata()
+        key = {
+            "OPENAI_IMAGENET_TEMPLATES": "templates",
+            "SIMPLE_IMAGENET_TEMPLATES": "simple_templates",
+            "IMAGENET_CLASSNAMES": "classnames",
+        }[name]
+        return tuple(meta[key])
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 # canonical eval dataset names (train.py:508) -> bank keys, with aliases
 # for the dataloader module names
 CLASSIFICATION_DATASETS = (
@@ -81,6 +97,20 @@ def build_zero_shot_classifier(
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         weights.append(feats)
     return jnp.concatenate(weights, axis=0).T  # [D, n_classes]
+
+
+def build_zero_shot_classifier_legacy(
+    encode_text_fn: Callable[[np.ndarray], jax.Array],
+    tokenizer,
+    classnames: Sequence[str],
+    templates: Sequence[str],
+) -> jax.Array:
+    """One-class-at-a-time variant (zero_shot_classifier.py:74-98 keeps it
+    for exact-order reproducibility of old results)."""
+    return build_zero_shot_classifier(
+        encode_text_fn, tokenizer, classnames, templates,
+        num_classes_per_batch=1,
+    )
 
 
 def accuracy(logits: np.ndarray, target: np.ndarray,

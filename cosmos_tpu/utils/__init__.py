@@ -35,6 +35,32 @@ def count_params(tree: Any) -> int:
     return sum(x.size for x in jax.tree.leaves(tree))
 
 
+def convert_weights_to_lp(params: Any, dtype=None) -> Any:
+    """Cast floating-point params to a low-precision dtype (reference
+    model.py:523-573 convert_weights_to_lp; the per-module CUDA special
+    cases don't apply — a param pytree casts uniformly).  Exact-match
+    layers the reference keeps in f32 (LayerNorm, logit_scale) should
+    instead use the framework's standard policy: keep params f32 and set
+    the COMPUTE dtype via precision='bf16' at create_model."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float16
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+
+
+def convert_weights_to_fp16(params: Any) -> Any:
+    """Alias kept for open_clip API parity (model.py:576)."""
+    import jax.numpy as jnp
+
+    return convert_weights_to_lp(params, jnp.float16)
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Turn on JAX's persistent compilation cache.
 
