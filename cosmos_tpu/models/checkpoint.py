@@ -204,6 +204,22 @@ def resize_pos_embed(pe: np.ndarray, target_len: int) -> np.ndarray:
     return np.asarray(interpolate_pos_embed(pe, (src, src), (dst, dst)))
 
 
+def resize_text_pos_embed(pe: np.ndarray, target_len: int) -> np.ndarray:
+    """Linear-resize a [L, D] text pos embed on context-length mismatch
+    (reference model.py:696-724 resize_text_pos_embed; keeps the old
+    embedding when lengths already match).  Truncation for a SHORTER
+    target uses interpolation too — matching torch F.interpolate
+    semantics rather than a hard crop."""
+    src = pe.shape[0]
+    if src == target_len:
+        return pe
+    x = np.linspace(0.0, src - 1.0, target_len)
+    i0 = np.floor(x).astype(np.int64)
+    i1 = np.minimum(i0 + 1, src - 1)
+    w = (x - i0)[:, None].astype(pe.dtype)
+    return pe[i0] * (1 - w) + pe[i1] * w
+
+
 def torch_state_dict_to_params(
     state_dict: Dict[str, Any],
     reference_params: Dict,
@@ -257,6 +273,9 @@ def torch_state_dict_to_params(
         if fpath == ("visual", "positional_embedding"):
             target = reference_params["visual"]["positional_embedding"].shape[0]
             val = resize_pos_embed(val, target)
+        elif fpath == ("text", "positional_embedding"):
+            target = reference_params["text"]["positional_embedding"].shape[0]
+            val = resize_text_pos_embed(val, target)
         # normalize rank mismatches (e.g. scalars round-tripped as [1])
         ref_leaf = reference_params
         try:

@@ -208,3 +208,18 @@ def test_custom_text_clip_prefix_normalized():
         np.asarray(back["text"]["text_projection_kernel"]),
         np.asarray(params["text"]["text_projection_kernel"]),
     )
+
+
+def test_resize_text_pos_embed():
+    """Context-length mismatch path (reference model.py:696-724): linear
+    interpolation, exact endpoints, identity when lengths match."""
+    from cosmos_tpu.models.checkpoint import resize_text_pos_embed
+
+    pe = np.arange(8, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
+    out = resize_text_pos_embed(pe, 15)
+    assert out.shape == (15, 4)
+    np.testing.assert_allclose(out[:, 0], np.linspace(0.0, 7.0, 15), rtol=1e-6)
+    down = resize_text_pos_embed(pe, 5)
+    assert down.shape == (5, 4)
+    np.testing.assert_allclose(down[:, 0], np.linspace(0.0, 7.0, 5), rtol=1e-6)
+    assert resize_text_pos_embed(pe, 8) is pe
