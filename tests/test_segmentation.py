@@ -180,3 +180,26 @@ def test_slide_equals_single_window():
         )
     )[0]
     np.testing.assert_allclose(slid, direct, atol=1e-5)
+
+
+def test_seg_eval_cli_end_to_end(tiny_seg_setup, monkeypatch, capsys):
+    """Drives the seg_eval CLI main() (training/seg_eval.py): benchmark
+    selection, segmentor construction from args, the eval loop, and the
+    JSON report — against the tiny on-disk dataset."""
+    import json as _json
+
+    import cosmos_tpu.segmentation as segpkg
+    from cosmos_tpu.training import seg_eval
+
+    bench, _ = tiny_seg_setup
+    monkeypatch.setitem(segpkg.SEG_BENCHMARKS, "tiny-cli", bench)
+    results = seg_eval.main([
+        "--model", "ViT-Tiny-Test", "--benchmarks", "tiny-cli",
+        "--limit", "1",
+    ])
+    assert "tiny-cli" in results
+    out = results["tiny-cli"]
+    assert 0.0 <= out["mIoU"] <= 100.0
+    # the CLI prints one JSON object for scripting
+    printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "tiny-cli" in printed
