@@ -182,3 +182,38 @@ def test_convnext_token_pool_raises():
     tower = TimmModel(model_name="convnext_test", embed_dim=32, pool="token")
     with pytest.raises(ValueError, match="no CLS token"):
         tower.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)))
+
+
+def test_convnext_tower_trains():
+    """A ConvNeXt-trunk CLIP runs the full jitted train step (fwd, bwd,
+    AdamW, EMA) — the reference trains timm towers through the same
+    generic loop (timm_model.py + train.py)."""
+    from cosmos_tpu.parallel.mesh import create_mesh
+    from cosmos_tpu.training.scheduler import cosine_lr
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    model, params = create_model(
+        "ViT-Tiny-Test",
+        vision_timm_model_name="convnext_test",
+        vision_timm_pool="avg",
+        vision_timm_proj="linear",
+        vision_image_size=IMG,
+    )
+    mesh = create_mesh(1)
+    optimizer = create_optimizer(cosine_lr(1e-3, 0, 10))
+    step_fn = make_train_step(model, optimizer, mesh,
+                              TrainStepConfig(cosmos=False))
+    state = create_train_state(params, optimizer)
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "global_images": jax.random.normal(key, (2, 4, IMG, IMG, 3)),
+        "texts": jax.random.randint(key, (1, 4, 16), 1, 127),
+    }
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
