@@ -211,3 +211,44 @@ def test_aug_cfg_knobs_plumb_through():
     assert u8.dtype == np.uint8
     assert np.array_equal(u8[..., 0], u8[..., 1])
     assert np.array_equal(u8[..., 1], u8[..., 2])
+
+
+def test_loader_multiprocess_workers(tmp_path):
+    """Real worker PROCESSES (the production path — every other loader
+    test uses the num_workers=0 inline-thread debug path): batches
+    arrive well-formed from 2 workers and shutdown() reaps them."""
+    from cosmos_tpu.data.loader import WdsTrainConfig, WdsTrainLoader
+
+    shards = [_make_shard(tmp_path / f"w{i}.tar", 8, seed=10 + i)
+              for i in range(2)]
+    cfg = WdsTrainConfig(
+        urls=shards,
+        batch_size=4,
+        num_workers=2,
+        local_crops_number=2,
+        image_size=32,
+        local_size=16,
+        num_sampled_captions=3,
+        context_length=16,
+        shuffle_buffer=4,
+    )
+    loader = WdsTrainLoader(cfg)
+    procs = []
+    try:
+        it = iter(loader)
+        for i in range(3):
+            batch = next(it)
+            if i == 0:
+                # workers start lazily on the first next()
+                procs = list(loader._procs)
+                assert len(procs) == 2
+                assert all(p.is_alive() for p in procs)
+            assert batch["global_images"].shape == (2, 4, 32, 32, 3)
+            assert batch["local_images"].shape == (2, 4, 16, 16, 3)
+            assert batch["texts"].shape == (3, 4, 16)
+            assert batch["texts"].dtype == np.int32
+    finally:
+        loader.shutdown()
+    for p in procs:
+        p.join(timeout=10)
+        assert not p.is_alive()
