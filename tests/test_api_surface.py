@@ -122,3 +122,36 @@ def test_image_transform_dispatch():
     with pytest.raises(NotImplementedError):
         cosmos_tpu.image_transform(
             32, is_train=True, aug_cfg=cosmos_tpu.AugmentationCfg(use_timm=True))
+
+
+def test_pool_type_variants_forward():
+    """'avg' and 'none' vision pooling produce correct shapes end-to-end
+    (reference --pool-type choices, params.py:566-571)."""
+    import jax
+    import jax.numpy as jnp
+
+    for pool, check in (
+        ("avg", lambda out: out["image_features"].shape == (2, 32)),
+        ("none", lambda out: out["image_features"].ndim in (2, 3)),
+    ):
+        model, params = cosmos_tpu.create_model(
+            "ViT-Tiny-Test", vision_pool_type=pool, seed=1)
+        out = model.apply(
+            {"params": params},
+            jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 16), jnp.int32))
+        assert check(out), pool
+        assert bool(jnp.isfinite(
+            jnp.asarray(out["image_features"], jnp.float32)).all())
+
+
+def test_create_model_and_transforms_accepts_aug_dataclass():
+    import numpy as np
+    from PIL import Image
+
+    model, params, train_tf, val_tf = cosmos_tpu.create_model_and_transforms(
+        "ViT-Tiny-Test",
+        aug_cfg=cosmos_tpu.AugmentationCfg(scale=(0.5, 1.0)),
+    )
+    img = Image.fromarray(np.zeros((40, 40, 3), np.uint8))
+    assert train_tf(img).shape == (32, 32, 3)
+    assert val_tf(img).shape == (32, 32, 3)
