@@ -33,6 +33,34 @@ Dtype = Any
 # Kept for inference/serving graphs and as a measured negative result.
 FUSED_LN: bool = False
 
+# Toggle for the HYBRID LN (ops/layer_norm.hybrid_layer_norm): forward
+# stays plain jnp (same XLA fusions as the default path — no custom-call
+# boundary), only the BACKWARD runs as a Pallas kernel.  OFF by default:
+# measured 218.8 -> 208.4 img/s/chip on v5e.  The trace shows why — the
+# text/local towers run in {2,0,1}-major (batch-minor) activation
+# layouts, and every Mosaic custom call forces row-major operands, so
+# ~37 ms/step of boundary transpose copies appear (bf16[384,77,512]
+# copies x63, bf16[288,37,768] x60, ...), dwarfing the ~18 ms the kernel
+# saves on the LN-backward math itself.  The packed-QKV attention kernel
+# is the exception that proves the rule: it pays off only because XLA
+# reorganizes the whole surrounding layout chain around it.  Conclusion
+# recorded here so the next perf campaign doesn't re-walk this path:
+# LN work must be attacked by giving XLA fewer/cheaper ops to fuse, not
+# by cutting custom-call islands into the differentiated graph.
+HYBRID_LN: bool = False
+
+
+def _hybrid_ln_active(x) -> bool:
+    if not HYBRID_LN:
+        return False
+    import jax as _jax
+
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from cosmos_tpu.ops import layer_norm as fln
+
+    return fln.supported(x)
+
 
 class LayerNorm(nn.Module):
     """LayerNorm with float32 accumulation, cast back to input dtype."""
@@ -53,6 +81,15 @@ class LayerNorm(nn.Module):
                 bias = self.param(
                     "bias", nn.initializers.zeros, (dim,), jnp.float32)
                 return fln.fused_layer_norm(x, scale, bias, self.epsilon)
+        if self.use_scale and self.use_bias and _hybrid_ln_active(x):
+            from cosmos_tpu.ops import layer_norm as fln
+
+            dim = x.shape[-1]
+            scale = self.param(
+                "scale", nn.initializers.ones, (dim,), jnp.float32)
+            bias = self.param(
+                "bias", nn.initializers.zeros, (dim,), jnp.float32)
+            return fln.hybrid_layer_norm(x, scale, bias, self.epsilon)
         # single-pass stats: reduce the COMPUTE-dtype input with an f32
         # accumulator (no materialized f32 copy, one read instead of the
         # centered two-pass form) — measured -57ms/step on v5e.

@@ -47,8 +47,11 @@ def _fwd_kernel(x_ref, s_ref, b_ref, y_ref, mean_ref, rstd_ref, *, eps):
     rstd = jax.lax.rsqrt(var + eps)
     y = (xf - mean) * rstd * s_ref[...] + b_ref[...]
     y_ref[...] = y.astype(y_ref.dtype)
-    mean_ref[...] = mean[..., 0]
-    rstd_ref[...] = rstd[..., 0]
+    # stats are [bblk, L, 1]: keeping the trailing unit axis lets the block
+    # equal the array's last-two dims (Mosaic requires lane-dim blocks be
+    # 128-multiples OR full-dim; L=197/77/37 are not 128-multiples)
+    mean_ref[...] = mean
+    rstd_ref[...] = rstd
 
 
 def _bwd_kernel(x_ref, s_ref, mean_ref, rstd_ref, g_ref,
@@ -57,8 +60,8 @@ def _bwd_kernel(x_ref, s_ref, mean_ref, rstd_ref, g_ref,
     g = g_ref[...].astype(jnp.float32)
     s = s_ref[...]
     d = x.shape[-1]
-    mean = mean_ref[...][..., None]
-    rstd = rstd_ref[...][..., None]
+    mean = mean_ref[...]          # [bblk, L, 1]
+    rstd = rstd_ref[...]
     xh = (x - mean) * rstd
     gs = g * s
     m1 = jnp.sum(gs, -1, keepdims=True) / d
@@ -139,15 +142,15 @@ def _ln_fwd(x, scale, bias, eps, interpret):
         out_specs=[
             pl.BlockSpec((bblk, l, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bblk, l), lambda i: (i, 0),
+            pl.BlockSpec((bblk, l, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bblk, l), lambda i: (i, 0),
+            pl.BlockSpec((bblk, l, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, l, d), x.dtype),
-            jax.ShapeDtypeStruct((b, l), jnp.float32),
-            jax.ShapeDtypeStruct((b, l), jnp.float32),
+            jax.ShapeDtypeStruct((b, l, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, l, 1), jnp.float32),
         ],
         interpret=_resolve_interpret(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -166,9 +169,9 @@ def _ln_bwd(eps, interpret, res, g):
             pl.BlockSpec((bblk, l, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bblk, l), lambda i: (i, 0),
+            pl.BlockSpec((bblk, l, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bblk, l), lambda i: (i, 0),
+            pl.BlockSpec((bblk, l, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bblk, l, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -191,3 +194,56 @@ def _ln_bwd(eps, interpret, res, g):
 
 
 fused_layer_norm.defvjp(_ln_fwd, _ln_bwd)
+
+
+# --- hybrid LN: XLA forward, Pallas backward ------------------------------
+#
+# The full-Pallas forward above LOSES in the train step (228 -> 211
+# img/s/chip measured): the custom-call boundary breaks XLA's fusion of the
+# surrounding residual adds / casts into the normalize pass.  But a device
+# trace of the 218-img/s step shows the LN BACKWARD fusions are the single
+# slowest op family (~26 ms/step across [96,197,768] / [384,77,512] /
+# [288,37,768], each running ~5x under HBM bandwidth — XLA materializes the
+# f32 per-row stats in transposed {0,1} layouts and multi-passes the
+# cross-row dscale/dbias reduction).  The hybrid keeps the forward as plain
+# jnp ops (XLA fuses them exactly as before — the fwd fusion signature
+# (mean, rstd, y) is what the unhinted AD path already emits) and routes
+# only the backward through the Pallas kernel, which does one VMEM pass per
+# block and accumulates dscale/dbias in-kernel across grid steps.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def hybrid_layer_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """LayerNorm [B, L, D]: jnp forward (XLA-fusable), Pallas backward.
+
+    Numerics match models.layers.LayerNorm exactly in the forward (same
+    single-pass f32 stats); the backward is the standard LN gradient
+    holding mean/rstd as constants of the forward pass.
+    """
+    return _hln_fwd(x, scale, bias, eps, interpret)[0]
+
+
+def _hln_math(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    msq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(msq - jax.lax.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = ((xf - mean) * rstd * scale + bias).astype(x.dtype)
+    return y, mean, rstd          # stats keep the [B, L, 1] trailing axis
+
+
+def _hln_fwd(x, scale, bias, eps, interpret):
+    y, mean, rstd = _hln_math(x, scale, bias, eps)
+    return y, (x, scale, mean, rstd)
+
+
+_hln_bwd = _ln_bwd  # identical residuals -> identical Pallas backward
+
+hybrid_layer_norm.defvjp(_hln_fwd, _hln_bwd)
