@@ -293,6 +293,10 @@ def main(argv=None) -> Dict:
                      ("amp", "amp_bf16", "bf16", "pure_bf16", "fp16")
                      else jnp.float32),
         accum_freq=args.accum_freq,
+        # norm is ~free when clipping computes it anyway (XLA CSE);
+        # otherwise it costs a full grad re-read per step — opt-in
+        log_grad_norm=(args.grad_clip_norm is not None
+                       or args.log_grad_norm),
     )
     step_fn = make_train_step(model, optimizer, mesh, step_cfg,
                               dist_model=dist_model)

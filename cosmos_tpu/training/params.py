@@ -98,6 +98,10 @@ def parse_args(args=None):
     add("--lr-cooldown-end", type=float, default=0.0)
     add("--lr-cooldown-power", type=float, default=1.0)
     add("--grad-clip-norm", type=float, default=None)
+    add("--log-grad-norm", action="store_true", default=False,
+        help="report the global gradient norm every step even without "
+             "clipping (costs a second read of every grad leaf, ~6% "
+             "step time; with --grad-clip-norm it is free and always on)")
     add("--skip-scheduler", action="store_true", default=False,
         help="constant base LR — no warmup or decay (reference "
              "train.py:103 skips the per-step scheduler call)")

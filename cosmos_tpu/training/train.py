@@ -274,6 +274,14 @@ class TrainStepConfig:
     # the (x/255 - mean)/std runs fused on the TPU, 4x less H2D traffic)
     image_mean: Tuple[float, ...] = (0.48145466, 0.4578275, 0.40821073)
     image_std: Tuple[float, ...] = (0.26862954, 0.26130258, 0.27577711)
+    # per-step grad-norm metric.  OFF by default: the global_norm is a
+    # second full read of every gradient leaf plus a scalar reduce baked
+    # into each update fusion — measured 218.8 -> 231.8 img/s/chip on v5e
+    # when dropped.  The reference computes the norm only when clipping
+    # (train.py:210-229 under args.grad_clip_norm); main.py turns this on
+    # when clipping is active (XLA CSEs it against clip_by_global_norm's
+    # identical reduction, so it is then ~free) or on --log-grad-norm.
+    log_grad_norm: bool = False
 
 
 def make_train_step(
@@ -595,10 +603,11 @@ def make_train_step(
 
         metrics = {
             "loss": total,
-            "grad_norm": optax.global_norm(grads),
             "momentum": momentum,
             **aux,
         }
+        if cfg.log_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         if cfg.lr_schedule is not None:
             metrics["lr"] = cfg.lr_schedule(state.step)
         new_state = TrainState(

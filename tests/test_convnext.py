@@ -207,7 +207,8 @@ def test_convnext_tower_trains():
     mesh = create_mesh(1)
     optimizer = create_optimizer(cosine_lr(1e-3, 0, 10))
     step_fn = make_train_step(model, optimizer, mesh,
-                              TrainStepConfig(cosmos=False))
+                              TrainStepConfig(cosmos=False,
+                                              log_grad_norm=True))
     state = create_train_state(params, optimizer)
     key = jax.random.PRNGKey(0)
     batch = {

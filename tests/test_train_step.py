@@ -54,6 +54,9 @@ def setup():
         momentum_schedule=cosine_scheduler(0.99, 1.0, 0, 100),
         fix_momentum=False,
         lr_schedule=lr,
+        # the optimizer clips, so the norm is free — and main.py enables
+        # the metric whenever clipping is on
+        log_grad_norm=True,
     )
     step_fn = make_train_step(model, optimizer, mesh, cfg)
 
@@ -165,9 +168,11 @@ def test_grad_accumulation_matches_big_batch_exactly():
     }
 
     step_big = make_train_step(model, opt, mesh,
-                               TrainStepConfig(cosmos=False))
+                               TrainStepConfig(cosmos=False,
+                                               log_grad_norm=True))
     step_acc = make_train_step(model, opt, mesh,
-                               TrainStepConfig(cosmos=False, accum_freq=2))
+                               TrainStepConfig(cosmos=False, accum_freq=2,
+                                               log_grad_norm=True))
     s_big = create_train_state(jax.tree.map(jnp.copy, params), opt)
     s_acc = create_train_state(jax.tree.map(jnp.copy, params), opt)
     s_big, m_big = step_big(s_big, big)
