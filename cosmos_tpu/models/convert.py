@@ -26,6 +26,8 @@ def detect_format(sd: Dict[str, Any]) -> str:
         return "mobileclip"
     if "visual.conv1.weight" in keys or "module.visual.conv1.weight" in keys:
         return "open_clip"
+    if "cls_token" in keys and "blocks.0.attn.q_proj.weight" in keys:
+        return "timm_eva"
     if "cls_token" in keys and "blocks.0.attn.qkv.weight" in keys:
         return "timm_vit"
     if "stem.0.weight" in keys and "stages.0.blocks.0.conv_dw.weight" in keys:
@@ -207,6 +209,23 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
         out = dict(params)
         visual = dict(params["visual"])
         visual["trunk"] = convert_timm_vit(sd, name)
+        out["visual"] = visual
+        return out
+    if fmt == "timm_eva":
+        # bare timm EVA02 checkpoint -> the native EVA trunk (models/eva.py)
+        from .eva import convert_timm_eva, infer_timm_eva_name
+
+        if "trunk" not in params.get("visual", {}):
+            raise ValueError(
+                "bare timm EVA02 checkpoint needs a timm vision tower: "
+                "build the model with vision_cfg timm_model_name "
+                "(e.g. create_model(..., vision_timm_model_name="
+                "'eva02_base_patch14_224'))"
+            )
+        name = infer_timm_eva_name(sd)
+        out = dict(params)
+        visual = dict(params["visual"])
+        visual["trunk"] = convert_timm_eva(sd, name)
         out["visual"] = visual
         return out
     if fmt == "timm_convnext":

@@ -16,10 +16,12 @@ transposed [W, 3W] in_proj, blocks.N.* -> resblocks_N.*).
 
 Non-ViT trunks: the ConvNeXt family is implemented natively in
 models/convnext.py (the one non-ViT architecture the OpenCLIP config
-family actually ships — convnext_base_w/large_d/xxlarge) and dispatches
-through this adapter by name.  FastViT/EVA remain unsupported torch-only
-architectures; ``TIMM_VIT_CONFIGS``/``CONVNEXT_CONFIGS`` list coverage
-and ``register_timm_vit``/``register_convnext`` extend it.
+family actually ships — convnext_base_w/large_d/xxlarge), and the EVA02
+family (rope + SwiGLU + sub-LN ViTs) in models/eva.py; both dispatch
+through this adapter by name.  FastViT remains an unsupported torch-only
+architecture; ``TIMM_VIT_CONFIGS``/``CONVNEXT_CONFIGS``/``EVA_CONFIGS``
+list coverage and ``register_timm_vit``/``register_convnext``/
+``register_eva`` extend it.
 """
 
 from __future__ import annotations
@@ -78,16 +80,19 @@ class TimmModel(nn.Module):
 
     def setup(self):
         from .convnext import CONVNEXT_CONFIGS
+        from .eva import EVA_CONFIGS
 
         if (self.model_name not in TIMM_VIT_CONFIGS
-                and self.model_name not in CONVNEXT_CONFIGS):
+                and self.model_name not in CONVNEXT_CONFIGS
+                and self.model_name not in EVA_CONFIGS):
             raise NotImplementedError(
                 f"timm trunk {self.model_name!r}: plain ViTs "
-                f"({sorted(TIMM_VIT_CONFIGS)}) and the ConvNeXt family "
-                f"({sorted(CONVNEXT_CONFIGS)}) are supported natively; "
+                f"({sorted(TIMM_VIT_CONFIGS)}), the ConvNeXt family "
+                f"({sorted(CONVNEXT_CONFIGS)}) and the EVA02 family "
+                f"({sorted(EVA_CONFIGS)}) are supported natively; "
                 "register additional geometries via register_timm_vit / "
-                "register_convnext, or use the native ViT/ModifiedResNet "
-                "towers."
+                "register_convnext / register_eva, or use the native "
+                "ViT/ModifiedResNet towers."
             )
         if self.pool not in ("avg", "token", ""):
             raise ValueError(f"timm_pool {self.pool!r}: use 'avg' or 'token'")
@@ -107,6 +112,23 @@ class TimmModel(nn.Module):
             self.trunk = ConvNeXt(
                 model_name=self.model_name,
                 drop_path_rate=self.drop_path,
+                dtype=self.dtype,
+                name="trunk",
+            )
+            self._build_head()
+            return
+        if self.model_name in EVA_CONFIGS:
+            if self.drop_path:
+                raise NotImplementedError(
+                    "timm_drop_path on an EVA02 trunk is not wired; the "
+                    "released EVA02-CLIP towers fine-tune with drop_path=0"
+                )
+            from .eva import Eva
+
+            self.trunk = Eva(
+                model_name=self.model_name,
+                image_size=self.image_size,
+                pool="avg" if self.pool == "avg" else "token",
                 dtype=self.dtype,
                 name="trunk",
             )

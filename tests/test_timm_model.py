@@ -148,8 +148,9 @@ def test_timm_config_dispatch_builds_clip():
 
 
 def test_unsupported_trunk_raises():
-    # ConvNeXt became a native trunk family (models/convnext.py);
-    # FastViT/EVA remain out of scope and must fail at construction
+    # ConvNeXt and EVA02 became native trunk families (models/convnext.py,
+    # models/eva.py); FastViT remains out of scope and must fail at
+    # construction
     tower = TimmModel(model_name="fastvit_t8", embed_dim=32)
     with pytest.raises(NotImplementedError):
         tower.init(jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)))
