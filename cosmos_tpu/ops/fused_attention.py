@@ -125,6 +125,68 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, hg, dh, scale, causal):
         o_ref[:, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
 
 
+def _bwd_kernel_hg(q_ref, k_ref, v_ref, do_ref, o_ref, dk_s, dv_s, *,
+                   hg, dh, scale, causal):
+    """Head-grid backward: grid (batch-block, head-group, 3).
+
+    The packed dqkv's q/k/v strips for a head group are NOT contiguous
+    (they sit a D-column apart), so one output block can't cover all
+    three — the objection that killed the head-grid backward in round 2.
+    The fix: make the strip choice the FASTEST grid axis.  t=0 computes
+    the whole head-group backward, writes dq to its output strip and
+    stashes dk/dv in VMEM scratch (scratch persists across grid steps);
+    t=1/t=2 are pure DMA-out steps that emit the stashed dk/dv to their
+    strips.  The in_specs' index maps don't depend on t, so Pallas elides
+    the input re-fetch for t=1/2 — input HBM traffic is unchanged.  A
+    4-D [B, L, 3, D] block view would be cleaner but Mosaic can't retile
+    the middle-axis squeeze at L=197/77/37 (sublane not 8-aligned;
+    probed, 'infer-vector-layout: unsupported shape cast').
+
+    Working set is heads/hg times smaller than the whole-slab backward,
+    buying batch blocks 2-4x larger at the same compile-safe budget.
+    """
+    t = pl.program_id(2)
+    l = q_ref.shape[1]
+    cmask = _causal_add(l, l) if causal else None
+
+    @pl.when(t == 0)
+    def _compute():
+        for h in range(hg):
+            sl = slice(h * dh, (h + 1) * dh)
+            q = q_ref[:, :, sl]
+            k = k_ref[:, :, sl]
+            v = v_ref[:, :, sl]
+            do = do_ref[:, :, sl]
+            s = jax.lax.dot_general(
+                q, k, _QK_DN, preferred_element_type=jnp.float32
+            ) * scale
+            if cmask is not None:
+                s = s + cmask
+            p = _softmax_rows(s)
+            pc = p.astype(v.dtype)
+            dv = jax.lax.dot_general(pc, do, _TQ_DN,
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, _QK_DN,
+                                     preferred_element_type=jnp.float32)
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))) * scale
+            dsc = ds.astype(q.dtype)
+            dq = jax.lax.dot_general(dsc, k, _PV_DN,
+                                     preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(dsc, q, _TQ_DN,
+                                     preferred_element_type=jnp.float32)
+            o_ref[:, :, sl] = dq.astype(o_ref.dtype)
+            dk_s[:, :, sl] = dk.astype(dk_s.dtype)
+            dv_s[:, :, sl] = dv.astype(dv_s.dtype)
+
+    @pl.when(t == 1)
+    def _emit_dk():
+        o_ref[...] = dk_s[...]
+
+    @pl.when(t == 2)
+    def _emit_dv():
+        o_ref[...] = dv_s[...]
+
+
 def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, dh, scale, causal):
     l = qkv_ref.shape[1]
     d = heads * dh
@@ -296,11 +358,74 @@ def _fa_fwd(qkv, num_heads, causal, interpret):
     return out, (qkv,)
 
 
+# Head-grid backward toggle (see _bwd_kernel_hg).  OFF by default:
+# measured 231.7 -> 223.5 img/s/chip on v5e (same-session A/B) despite
+# bit-identical numerics — the 3x longer grid's per-step overhead and the
+# serialized t=1/2 DMA-out steps cost more than the smaller working set
+# saves.  The whole-slab backward's fewer, fatter grid steps win at CLIP
+# sequence lengths.  Kept as a measured negative result and for
+# long-sequence configs where the slab would not fit VMEM at blk=1.
+BWD_HEAD_GRID: bool = False
+
+
+def _bwd_hg_ws(blk: int, l: int, w: int, itemsize: int) -> int:
+    """Per-grid-step VMEM bytes for the head-grid backward: qkv + dqkv
+    blocks (3 strips of width w each), the do block, and the f32 p/dp
+    probability matrices."""
+    return blk * (7 * l * w * itemsize + 2 * l * l * 4)
+
+
+def _bwd_hg_block(batch: int, l: int, w: int, itemsize: int) -> int:
+    for b in (32, 16, 8, 4, 2, 1):
+        if batch % b:
+            continue
+        if _bwd_hg_ws(b, l, w, itemsize) <= 10 * 1024 * 1024:
+            return b
+    return 1
+
+
+def _fa_bwd_hg(num_heads, causal, interpret, qkv, g_out):
+    b, l, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    hg = _head_group(num_heads, dh)
+    ng = num_heads // hg
+    w = hg * dh
+    blk = _bwd_hg_block(b, l, w, qkv.dtype.itemsize)
+    spec_q = pl.BlockSpec((blk, l, w), lambda i, g, t: (i, 0, g),
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((blk, l, w), lambda i, g, t: (i, 0, ng + g),
+                          memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((blk, l, w), lambda i, g, t: (i, 0, 2 * ng + g),
+                          memory_space=pltpu.VMEM)
+    spec_do = pl.BlockSpec((blk, l, w), lambda i, g, t: (i, 0, g),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((blk, l, w), lambda i, g, t: (i, 0, t * ng + g),
+                            memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_kernel_hg, hg=hg, dh=dh,
+                          scale=dh ** -0.5, causal=causal),
+        grid=(b // blk, ng, 3),
+        in_specs=[spec_q, spec_k, spec_v, spec_do],
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((b, l, d3), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((blk, l, w), qkv.dtype),
+            pltpu.VMEM((blk, l, w), qkv.dtype),
+        ],
+        interpret=_resolve_interpret(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(qkv, qkv, qkv, g_out)
+    return (dqkv,)
+
+
 def _fa_bwd(num_heads, causal, interpret, res, g_out):
     (qkv,) = res
     b, l, d3 = qkv.shape
     d = d3 // 3
     dh = d // num_heads
+    if BWD_HEAD_GRID:
+        return _fa_bwd_hg(num_heads, causal, interpret, qkv, g_out)
     blk = _pick_block(b, l, d, dh, qkv.dtype.itemsize, backward=True)
     spec3 = pl.BlockSpec((blk, l, d3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)

@@ -247,6 +247,42 @@ def test_fused_qkv_eva_raises():
         convert_timm_eva(sd, "eva02_test_patch8_32")
 
 
+def test_eva_tower_trains():
+    """An EVA02-trunk CLIP runs the full jitted train step (fwd, bwd
+    through rope/SwiGLU/sub-LN, AdamW, EMA) — the reference trains timm
+    towers through the same generic loop (timm_model.py + train.py)."""
+    from cosmos_tpu.parallel.mesh import create_mesh
+    from cosmos_tpu.training.scheduler import cosine_lr
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    model, params = create_model(
+        "ViT-Tiny-Test",
+        vision_timm_model_name="eva02_test_patch8_32",
+        vision_timm_pool="token",
+        vision_timm_proj="linear",
+        vision_image_size=IMG,
+    )
+    mesh = create_mesh(1)
+    optimizer = create_optimizer(cosine_lr(1e-3, 0, 10))
+    step_fn = make_train_step(model, optimizer, mesh,
+                              TrainStepConfig(cosmos=False,
+                                              log_grad_norm=True))
+    state = create_train_state(params, optimizer)
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "global_images": jax.random.normal(key, (2, 4, IMG, IMG, 3)),
+        "texts": jax.random.randint(key, (1, 4, 16), 1, 127),
+    }
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0.0
+
+
 def test_real_geometries_registered():
     # the released EVA02-CLIP towers the reference can load via timm
     for name in ("eva02_base_patch16_clip_224",

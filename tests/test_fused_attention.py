@@ -54,6 +54,28 @@ def test_fused_qkv_grads_match(causal):
     )
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_head_grid_backward_matches(causal, monkeypatch):
+    """The (batch, head-group, 3) backward variant == whole-slab backward
+    (it lost the on-chip A/B but stays available behind BWD_HEAD_GRID)."""
+    import cosmos_tpu.ops.fused_attention as fa
+
+    b, heads, dh, l = 4, 4, 64, 37
+    d = heads * dh
+    qkv = jax.random.normal(jax.random.PRNGKey(3), (b, l, 3 * d))
+    tgt = jax.random.normal(jax.random.PRNGKey(4), (b, l, d))
+
+    def loss(x):
+        return jnp.sum((fused_attention_qkv(x, heads, causal, True) - tgt) ** 2)
+
+    g_slab = jax.grad(loss)(qkv)
+    monkeypatch.setattr(fa, "BWD_HEAD_GRID", True)
+    g_hg = jax.grad(loss)(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_hg), np.asarray(g_slab), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_supported_predicate():
     assert supported(12, 768) and supported(8, 512) and supported(16, 1024)
     assert not supported(5, 768)     # dh not integral
