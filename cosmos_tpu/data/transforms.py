@@ -318,6 +318,18 @@ class AugmentationCfg:
     gray_scale_prob: float = None
 
 
+def aug_cfg_to_dict(aug_cfg):
+    """AugmentationCfg dataclass (open_clip callers) or dict -> plain dict
+    with unset (None/False) fields dropped.  The ONE place this filter
+    rule lives — factory.create_model_and_transforms delegates here."""
+    if dataclasses.is_dataclass(aug_cfg):
+        return {
+            k: v for k, v in dataclasses.asdict(aug_cfg).items()
+            if v is not None and v is not False
+        }
+    return dict(aug_cfg or {})
+
+
 def image_transform(
     image_size: int,
     is_train: bool,
@@ -331,12 +343,7 @@ def image_transform(
     dict augmentation settings, eval branch resize+center-crop."""
     if not is_train:
         return image_transform_eval(image_size, mean=mean, std=std)
-    if dataclasses.is_dataclass(aug_cfg):
-        aug_cfg = {
-            k: v for k, v in dataclasses.asdict(aug_cfg).items()
-            if v is not None and v is not False
-        }
-    aug_cfg = dict(aug_cfg or {})
+    aug_cfg = aug_cfg_to_dict(aug_cfg)
     if aug_cfg.get("use_timm") or aug_cfg.get("re_prob") or aug_cfg.get("re_count"):
         raise NotImplementedError(
             "timm-specific augmentations (use_timm, re_prob, re_count) "

@@ -133,7 +133,8 @@ class MultiheadAttention(nn.Module):
                 supported,
             )
 
-            fused = supported(self.num_heads, d, x.shape[1])
+            fused = supported(self.num_heads, d, x.shape[1],
+                              itemsize=xc.dtype.itemsize)
 
         if ln is not None:
             assert kv is None, "fused LN->QKV is a self-attention path"

@@ -13,9 +13,41 @@ import logging
 from typing import Any, Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+def _maybe_load_timm_head(sd: Dict[str, Any], visual: Dict[str, Any],
+                          head_key: str = "head") -> None:
+    """Load a timm checkpoint's classifier head into the adapter's
+    projection head WHEN the shapes match.
+
+    timm's *_clip_* towers (eva02_*_clip_*, vit_*_clip_*) carry the
+    jointly-trained CLIP projection as their classifier head
+    (``head.weight`` [embed_dim, width]) — dropping it would leave the
+    model projecting through random weights after a 'successful' load.
+    in1k classifier heads have a different out-dim (1000) and are
+    ignored, as are mlp-projection adapters (timm clip towers are
+    linear).  Mutates ``visual`` in place."""
+    head = visual.get("head")
+    w = sd.get(f"{head_key}.weight")
+    if not isinstance(head, dict) or "kernel" not in head or w is None:
+        return
+    wt = np.ascontiguousarray(np.asarray(w).T)
+    if tuple(wt.shape) != tuple(head["kernel"].shape):
+        return
+    new_head = dict(head)
+    new_head["kernel"] = jnp.asarray(wt)
+    b = sd.get(f"{head_key}.bias")
+    if "bias" in head and b is not None:
+        b = np.asarray(b)
+        if tuple(b.shape) == tuple(head["bias"].shape):
+            new_head["bias"] = jnp.asarray(b)
+    visual["head"] = new_head
+    logger.info("loaded timm classifier head as the CLIP projection "
+                "(shape-matched %s)", wt.shape)
 
 
 def detect_format(sd: Dict[str, Any]) -> str:
@@ -209,6 +241,7 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
         out = dict(params)
         visual = dict(params["visual"])
         visual["trunk"] = convert_timm_vit(sd, name)
+        _maybe_load_timm_head(sd, visual)
         out["visual"] = visual
         return out
     if fmt == "timm_eva":
@@ -226,6 +259,7 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
         out = dict(params)
         visual = dict(params["visual"])
         visual["trunk"] = convert_timm_eva(sd, name)
+        _maybe_load_timm_head(sd, visual)
         out["visual"] = visual
         return out
     if fmt == "timm_convnext":
@@ -243,6 +277,7 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
         out = dict(params)
         visual = dict(params["visual"])
         visual["trunk"] = convert_timm_convnext(sd, name)
+        _maybe_load_timm_head(sd, visual, head_key="head.fc")
         out["visual"] = visual
         return out
     if fmt == "mobileclip":

@@ -141,14 +141,7 @@ class ConvNeXt(nn.Module):
 
 # --- timm checkpoint conversion ------------------------------------------
 
-
-def _t(x) -> np.ndarray:
-    return np.ascontiguousarray(np.asarray(x).T)
-
-
-def _ln(sd, p: str) -> Dict[str, np.ndarray]:
-    return {"scale": np.asarray(sd[f"{p}.weight"]),
-            "bias": np.asarray(sd[f"{p}.bias"])}
+from .convert_util import ln_ as _ln, t_ as _t
 
 
 def _conv(sd, p: str) -> Dict[str, np.ndarray]:

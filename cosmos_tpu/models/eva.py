@@ -245,21 +245,7 @@ class Eva(nn.Module):
 
 # --- timm checkpoint conversion ------------------------------------------
 
-
-def _t(x) -> np.ndarray:
-    return np.ascontiguousarray(np.asarray(x).T)
-
-
-def _ln(sd, p: str) -> Dict[str, np.ndarray]:
-    return {"scale": np.asarray(sd[f"{p}.weight"]),
-            "bias": np.asarray(sd[f"{p}.bias"])}
-
-
-def _dense(sd, p: str, bias: bool = True) -> Dict[str, np.ndarray]:
-    out = {"kernel": _t(sd[f"{p}.weight"])}
-    if bias:
-        out["bias"] = np.asarray(sd[f"{p}.bias"])
-    return out
+from .convert_util import dense_ as _dense, ln_ as _ln
 
 
 def infer_timm_eva_name(sd: Dict[str, Any]) -> str:
@@ -312,8 +298,12 @@ def convert_timm_eva(sd: Dict[str, Any], model_name: str) -> Dict[str, Any]:
       blocks.i.attn.proj              -> resblocks_i/attn/out_proj
       blocks.i.mlp.(fc1_g|w1) etc.    -> resblocks_i/w1,w2,ffn_ln,w3
       norm                            -> ln_post
-    rope tables are recomputed (they carry no weights); head keys are
-    ignored.  Fused-qkv EVA variants (eva_giant) raise.
+    rope tables are recomputed (they carry no weights).  This returns the
+    TRUNK subtree only; the checkpoint's classifier head — which for
+    timm's *_clip_* towers IS the jointly-trained CLIP projection — is
+    loaded shape-matched by the convert.py dispatch
+    (``_maybe_load_timm_head``).  Fused-qkv EVA variants (eva_giant)
+    raise.
     """
     g = EVA_CONFIGS[model_name]
     w = g["width"]

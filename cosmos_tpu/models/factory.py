@@ -155,12 +155,9 @@ def create_model_and_transforms(
     )
     from cosmos_tpu.data.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
 
-    import dataclasses as _dc
+    from cosmos_tpu.data.transforms import aug_cfg_to_dict
 
-    if _dc.is_dataclass(aug_cfg):
-        # open_clip callers pass an AugmentationCfg dataclass
-        aug_cfg = {k: v for k, v in _dc.asdict(aug_cfg).items()
-                   if v is not None and v is not False}
+    aug_cfg = aug_cfg_to_dict(aug_cfg)
     model, params = create_model(model_name, pretrained, precision, **kwargs)
     mean = image_mean or OPENAI_DATASET_MEAN
     std = image_std or OPENAI_DATASET_STD

@@ -196,9 +196,7 @@ class TimmModel(nn.Module):
 
 # --- timm checkpoint conversion ------------------------------------------
 
-
-def _t(x) -> np.ndarray:
-    return np.ascontiguousarray(np.asarray(x).T)
+from .convert_util import ln_, t_ as _t
 
 
 def infer_timm_vit_name(sd: Dict[str, Any]) -> str:
@@ -217,11 +215,6 @@ def infer_timm_vit_name(sd: Dict[str, Any]) -> str:
     )
 
 
-def _ln(sd, p: str) -> Dict[str, np.ndarray]:
-    return {"scale": np.asarray(sd[f"{p}.weight"]),
-            "bias": np.asarray(sd[f"{p}.bias"])}
-
-
 def convert_timm_vit(sd: Dict[str, Any], model_name: str) -> Dict[str, Any]:
     """timm ViT state dict -> TimmModel 'trunk' param subtree.
 
@@ -232,7 +225,10 @@ def convert_timm_vit(sd: Dict[str, Any], model_name: str) -> Dict[str, Any]:
       blocks.i.attn.qkv.weight [3W,W] -> attn/in_proj_kernel [W,3W]
       blocks.i.{norm1,norm2,attn.proj,mlp.fc1,mlp.fc2} -> resblocks_i/*
       norm.*                       -> ln_post/*
-    Head/classifier keys are ignored (the adapter head is CLIP-trained).
+    This returns the TRUNK subtree only; in1k classifier heads are
+    dropped, while a shape-matching CLIP-projection head (timm
+    vit_*_clip_* checkpoints) is loaded by the convert.py dispatch
+    (``_maybe_load_timm_head``).
     """
     g = TIMM_VIT_CONFIGS[model_name]
     w = g["width"]
@@ -243,14 +239,14 @@ def convert_timm_vit(sd: Dict[str, Any], model_name: str) -> Dict[str, Any]:
             np.asarray(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0)
         ),
         "conv1_bias": np.asarray(sd["patch_embed.proj.bias"]),
-        "ln_post": _ln(sd, "norm"),
+        "ln_post": ln_(sd, "norm"),
     }
     blocks: Dict[str, Any] = {}
     for i in range(g["layers"]):
         p = f"blocks.{i}"
         blocks[f"resblocks_{i}"] = {
-            "ln_1": _ln(sd, f"{p}.norm1"),
-            "ln_2": _ln(sd, f"{p}.norm2"),
+            "ln_1": ln_(sd, f"{p}.norm1"),
+            "ln_2": ln_(sd, f"{p}.norm2"),
             "attn": {
                 "in_proj_kernel": _t(sd[f"{p}.attn.qkv.weight"]),
                 "in_proj_bias": np.asarray(sd[f"{p}.attn.qkv.bias"]),

@@ -258,23 +258,28 @@ def _pick_block(batch: int, l: int, d: int, dh: int, itemsize: int,
     return 1
 
 
-def supported(num_heads: int, d: int, l: Optional[int] = None) -> bool:
+def supported(num_heads: int, d: int, l: Optional[int] = None,
+              itemsize: int = 2) -> bool:
     """True when the kernel can handle this geometry.
 
     Head dim must be a full 64/128-lane slice, and (when the sequence
-    length is known) even the blk=1 backward working set must fit the VMEM
-    budget — long-sequence configs (e.g. ~512px images, L >= ~1100) would
-    otherwise hit a Mosaic compile failure instead of falling back to the
-    XLA formulation (mirrors layer_norm.supported()'s bound)."""
+    length is known) even the blk=1 backward working set must fit the
+    compile-safe VMEM budget — long-sequence configs (e.g. ~512px images,
+    L >= ~1100 bf16, or f32 runs at roughly half that) would otherwise
+    hit the Mosaic compile-time cliff instead of falling back to the XLA
+    formulation.  ``itemsize`` is the input dtype's byte width: pass the
+    real one (MultiheadAttention does) — assuming bf16 for an f32 run
+    would pass the guard and then blow the budget the guard exists to
+    enforce.  The bound matches _pick_block's _COMPILE_SAFE_WS so an
+    accepted geometry always has a compliant block."""
     dh = d // num_heads
     if dh * num_heads != d or dh not in _OK_DH:
         return False
     if _head_group(num_heads, dh) == 0:
         return False
     if l is not None:
-        # itemsize 2 (bf16) is the layout every training path uses; f32
-        # inputs halve the viable L but only appear in tiny eval shapes
-        if _working_set(1, l, d, dh, 2, backward=True) > 14 * 1024 * 1024:
+        if _working_set(1, l, d, dh, itemsize,
+                        backward=True) > _COMPILE_SAFE_WS:
             return False
     return True
 

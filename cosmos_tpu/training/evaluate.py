@@ -60,6 +60,18 @@ _ENCODER_CACHE: "dict" = {}
 _ENCODER_CACHE_MAX = 4
 
 
+def _cached(cache_key, build):
+    """Insertion-ordered LRU get-or-build: the ONE place the eviction
+    policy lives (both the encoder triple and the val-loss feature fn
+    use it)."""
+    if cache_key not in _ENCODER_CACHE:
+        value = build()
+        while len(_ENCODER_CACHE) >= _ENCODER_CACHE_MAX:
+            _ENCODER_CACHE.pop(next(iter(_ENCODER_CACHE)))
+        _ENCODER_CACHE[cache_key] = value
+    return _ENCODER_CACHE[cache_key]
+
+
 def make_encoders(model, params, mesh=None):
     """Jitted normalized encoders over fixed batch shapes.
 
@@ -71,7 +83,8 @@ def make_encoders(model, params, mesh=None):
     would deadlock the other processes.
     """
     cache_key = (id(model), id(mesh))
-    if cache_key not in _ENCODER_CACHE:
+
+    def _build():
         kwargs = {}
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -104,11 +117,9 @@ def make_encoders(model, params, mesh=None):
                               method=model.encode_text)
             return out["text_features"]
 
-        while len(_ENCODER_CACHE) >= _ENCODER_CACHE_MAX:
-            _ENCODER_CACHE.pop(next(iter(_ENCODER_CACHE)))
-        _ENCODER_CACHE[cache_key] = (enc_image, enc_text_norm, enc_text_raw)
+        return enc_image, enc_text_norm, enc_text_raw
 
-    enc_image, enc_text_norm, enc_text_raw = _ENCODER_CACHE[cache_key]
+    enc_image, enc_text_norm, enc_text_raw = _cached(cache_key, _build)
 
     if mesh is not None and mesh.devices.size > 1:
         # explicit placement: jit with non-trivial in_shardings refuses raw
@@ -298,8 +309,7 @@ def evaluate_on_split(
     # the jitted feature fn lives in the same LRU as the encoders: a fresh
     # @jax.jit closure per evaluate_on_split call would recompile the full
     # forward every --val-frequency epochs (minutes on TPU)
-    cache_key = ("val_feats", id(model))
-    if cache_key not in _ENCODER_CACHE:
+    def _build():
         @jax.jit
         def batch_feats(p, images, texts):
             out = model.apply({"params": p}, images, texts)
@@ -309,10 +319,9 @@ def evaluate_on_split(
                 out["logit_scale"],
             )
 
-        while len(_ENCODER_CACHE) >= _ENCODER_CACHE_MAX:
-            _ENCODER_CACHE.pop(next(iter(_ENCODER_CACHE)))
-        _ENCODER_CACHE[cache_key] = batch_feats
-    batch_feats = _ENCODER_CACHE[cache_key]
+        return batch_feats
+
+    batch_feats = _cached(("val_feats", id(model)), _build)
 
     all_img, all_txt = [], []
     cumulative_loss = 0.0

@@ -84,11 +84,20 @@ def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
     --lock-text-unlocked-layers semantics, which its HF towers implement
     (hf_model.py:171-186) but its native TextTransformer.lock silently
     ignores (transformer.py:881-883); here both tower kinds honor it.
-    ``text_freeze_layer_norm=False`` keeps LayerNorm params inside frozen
-    text modules trainable (hf_model.py:174 behavior).  The reference's
-    freeze-BN/LN *running stats* halves of these flags are no-ops by
-    construction in JAX: LayerNorm has no running stats and frozen-BN
-    batch_stats never update unless passed as mutable (PARITY.md)."""
+    HF towers follow the reference module list exactly: the frozen set is
+    ``[embeddings, *encoder.layer][:-n]``; the HF pooler and the CLIP
+    projection head are never frozen (reference lock only walks
+    ``self.transformer``).  ``text_freeze_layer_norm=False`` keeps
+    LayerNorm params inside frozen text modules trainable (hf_model.py:174
+    behavior).  Note the defaults mirror the reference's two surfaces:
+    this API defaults to True like ``lock_text_tower`` (model.py:473),
+    while the CLI flag is store_true/False (params.py:447-450) — main.py
+    passes the CLI value through, so a bare ``--lock-text`` leaves LNs
+    trainable in HF towers, exactly as the reference does.  The
+    reference's freeze-BN/LN *running stats* halves of these flags are
+    no-ops by construction in JAX: LayerNorm has no running stats and
+    frozen-BN batch_stats never update unless passed as mutable
+    (PARITY.md)."""
     unlocked_layers = set()
     proj_unlocked = False
     lnpost_unlocked = False
@@ -129,6 +138,29 @@ def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
         for i in range(min(text_unlocked_layers, n_text)):
             text_unlocked.add(f"resblocks_{n_text - 1 - i}")
 
+    # HF text tower (params['text']['hf'] with transformers param names):
+    # reference hf_model.py:172-186 freezes [embeddings, *encoder.layer]
+    # [:-unlocked_layers] (everything when unlocked_layers == 0), keeps
+    # LayerNorm params trainable when freeze_layer_norm is False, and
+    # never walks the pooler or the projection head.
+    hf_frozen_layers: Optional[set] = None   # None = not an HF tower
+    hf_freeze_embeddings = False
+    if lock_text and "hf" in params.get("text", {}):
+        hf = params["text"]["hf"]
+        layer_container = hf.get("encoder", {}).get("layer", None)
+        if layer_container is None:
+            raise NotImplementedError(
+                "--lock-text on an HF text tower needs the standard "
+                "encoder.layer module layout (bert/roberta-family); this "
+                "checkpoint's layout is not recognized"
+            )
+        n_hf = len(layer_container)
+        modules = ["embeddings"] + [str(i) for i in range(n_hf)]
+        frozen = modules[:-text_unlocked_layers] if text_unlocked_layers \
+            else modules
+        hf_freeze_embeddings = "embeddings" in frozen
+        hf_frozen_layers = {m for m in frozen if m != "embeddings"}
+
     _STEM = ("conv1_kernel", "conv1_bias", "class_embedding",
              "positional_embedding", "ln_pre")
 
@@ -145,6 +177,24 @@ def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
             if any(n in unlocked_layers for n in names):
                 return False
             return True
+        if lock_text and top == "text" and hf_frozen_layers is not None:
+            # ['text','hf','encoder','layer','5',...] / ['text','hf',
+            # 'embeddings',...] / ['text','hf','pooler',...] / ['text',
+            # 'proj',...]; pooler and projection head are never frozen
+            if len(names) < 2 or names[1] != "hf":
+                return False
+            frozen = False
+            if "embeddings" in names:
+                frozen = hf_freeze_embeddings
+            elif "layer" in names:
+                li = names.index("layer")
+                frozen = (li + 1 < len(names)
+                          and names[li + 1] in hf_frozen_layers)
+            if frozen and not text_freeze_layer_norm and any(
+                n == "LayerNorm" for n in names
+            ):
+                return False
+            return frozen
         if lock_text and top == "text":
             if text_unlocked_layers > 0:
                 if any(n in text_unlocked for n in names):

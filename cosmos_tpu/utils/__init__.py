@@ -83,6 +83,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         repo = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         cache_dir = os.path.join(repo, ".jax_cache")
+        if not os.access(repo, os.W_OK):
+            # pip-installed into read-only site-packages: fall back to a
+            # user cache instead of crashing at startup (or silently
+            # polluting site-packages on writable installs)
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "cosmos_tpu", "jax")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -237,6 +237,38 @@ def test_bare_eva_ckpt_loads_into_timm_tower():
         got, np.asarray(sd["blocks.0.attn.k_proj.weight"]).T, atol=0)
 
 
+def test_clip_head_loads_classifier_head_ignored():
+    """timm *_clip_* checkpoints carry the CLIP projection as the
+    classifier head: a shape-matching head must load into visual/head;
+    an in1k classifier head (wrong out-dim) must be ignored."""
+    from cosmos_tpu.models.convert import convert_state_dict
+
+    torch.manual_seed(3)
+    sd = timm_state_dict(TorchEva())
+    model, params = create_model(
+        "ViT-Tiny-Test",
+        vision_timm_model_name="eva02_test_patch8_32",
+        vision_timm_pool="token",
+        vision_timm_proj="linear",
+        vision_image_size=IMG,
+    )
+    # CLIP projection head: [embed_dim, width] (shape-matching) -> loads
+    embed_dim = params["visual"]["head"]["kernel"].shape[1]
+    head_w = np.random.default_rng(0).normal(
+        size=(embed_dim, W)).astype(np.float32)
+    out = convert_state_dict(model, params, {**sd, "head.weight": head_w})
+    np.testing.assert_allclose(
+        np.asarray(out["visual"]["head"]["kernel"]), head_w.T, atol=0)
+
+    # in1k classifier head: [1000, width] -> ignored, head keeps its init
+    out = convert_state_dict(
+        model, params,
+        {**sd, "head.weight": np.zeros((1000, W), np.float32)})
+    np.testing.assert_array_equal(
+        np.asarray(out["visual"]["head"]["kernel"]),
+        np.asarray(params["visual"]["head"]["kernel"]))
+
+
 def test_fused_qkv_eva_raises():
     sd = {"cls_token": np.zeros((1, 1, W)),
           "pos_embed": np.zeros((1, 17, W)),

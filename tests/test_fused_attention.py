@@ -80,6 +80,12 @@ def test_supported_predicate():
     assert supported(12, 768) and supported(8, 512) and supported(16, 1024)
     assert not supported(5, 768)     # dh not integral
     assert not supported(12, 384)    # dh == 32
+    # the sequence-length bound must track the dtype's byte width: an L
+    # that fits in bf16 but not f32 (f32 would hit the Mosaic compile
+    # cliff the guard exists to prevent)
+    assert supported(16, 1024, 577, itemsize=2)
+    assert not supported(16, 1024, 577, itemsize=4)
+    assert not supported(12, 768, 4096, itemsize=2)  # too long even bf16
 
 
 @pytest.mark.parametrize("causal", [False, True])

@@ -114,3 +114,48 @@ def test_get_tokenizer_hf_dispatch(tmp_path, monkeypatch):
     # on the fake name — proving dispatch chose the HF path
     with pytest.raises(Exception):
         get_tokenizer("hf-test-model")
+
+
+def test_hf_tower_lock_text_mask(hf_clip):
+    """frozen_mask implements the reference HF lock (hf_model.py:172-186):
+    [embeddings, *encoder.layer][:-n] frozen, LayerNorm exempt when
+    freeze_layer_norm=False, pooler/projection never frozen."""
+    from cosmos_tpu.training.train import frozen_mask
+
+    _, params = hf_clip
+
+    def flat(mask):
+        return {
+            jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_leaves_with_path(mask)
+        }
+
+    # full lock, freeze_layer_norm=True: every hf transformer param frozen
+    m = flat(frozen_mask(params, lock_text=True,
+                         text_freeze_layer_norm=True))
+    hf_keys = [k for k in m if "['text']['hf']" in k]
+    assert hf_keys, "expected HF params under text/hf"
+    assert all(m[k] for k in hf_keys if "pooler" not in k)
+    assert not any(v for k, v in m.items()
+                   if "['text']['proj']" in k or "pooler" in k)
+
+    # freeze_layer_norm=False exempts LayerNorm params inside frozen blocks
+    m = flat(frozen_mask(params, lock_text=True,
+                         text_freeze_layer_norm=False))
+    ln_keys = [k for k in hf_keys if "LayerNorm" in k]
+    assert ln_keys and not any(m[k] for k in ln_keys)
+    assert all(m[k] for k in hf_keys
+               if "LayerNorm" not in k and "pooler" not in k)
+
+    # unlocked_layers=1: last encoder layer trainable, embeddings+layer 0
+    # frozen (reference modules[:-1])
+    m = flat(frozen_mask(params, lock_text=True, text_unlocked_layers=1,
+                         text_freeze_layer_norm=True))
+    assert not any(v for k, v in m.items() if "['layer']['1']" in k)
+    assert all(v for k, v in m.items() if "['layer']['0']" in k)
+    assert all(v for k, v in m.items() if "embeddings" in k)
+
+    # unlocked_layers >= n_layers+1 unlocks embeddings too
+    m = flat(frozen_mask(params, lock_text=True, text_unlocked_layers=3,
+                         text_freeze_layer_norm=True))
+    assert not any(v for k, v in m.items() if "['text']['hf']" in k)

@@ -41,12 +41,13 @@ def main():
         from cosmos_tpu.ops.int8 import (
             dequantize_dense_params,
             quantize_dense_params,
-            quantized_bytes,
         )
 
-        after, before = quantized_bytes(params)
+        q = quantize_dense_params(params)   # quantize ONCE: sizes + roundtrip
+        after = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(q))
+        before = sum(x.size * 4 for x in jax.tree.leaves(params))
         f32_params = params
-        params = dequantize_dense_params(quantize_dense_params(params))
+        params = dequantize_dense_params(q)
         int8_info = {
             "int8_ckpt_mb": round(after / 1e6, 1),
             "f32_ckpt_mb": round(before / 1e6, 1),
