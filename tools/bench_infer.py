@@ -4,7 +4,13 @@ Measures image-encode and text-encode throughput for the flagship
 ViT-B-16 on the local chip(s) — the serving-side companion to the
 training bench (bench.py stays the driver's one-line contract).
 
-Usage: python tools/bench_infer.py [model] [batch] [--int8]
+Usage: python tools/bench_infer.py [model] [batch] [--int8] [--tp N]
+
+--tp N serves tensor-parallel over an (n_devices/N, N) 2-D mesh
+(parallel/tp.py: Megatron-style column/row-parallel weight placement,
+collectives inserted by the XLA partitioner).  Needs N devices; the XLA
+attention path is used (the Pallas kernel is a custom call the
+partitioner cannot split).
 
 --int8 serves from weight-only int8-compressed params (the reference's
 bitsandbytes replace_linear analog, utils.py:66-88): every large Dense
@@ -30,12 +36,23 @@ import numpy as np
 def main():
     from cosmos_tpu.models.factory import create_model
 
-    argv = [a for a in sys.argv[1:] if a != "--int8"]
-    use_int8 = "--int8" in sys.argv[1:]
+    args = sys.argv[1:]
+    tp = 1
+    if "--tp" in args:
+        i = args.index("--tp")
+        tp = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    argv = [a for a in args if a != "--int8"]
+    use_int8 = "--int8" in args
     name = argv[0] if len(argv) > 0 else "ViT-B-16"
     b = int(argv[1]) if len(argv) > 1 else 256
-    model, params = create_model(name, precision="bf16")
+    model_kwargs = {}
+    if tp > 1:
+        model_kwargs["use_flash"] = False   # partitioner-splittable attn
+    model, params = create_model(name, precision="bf16", **model_kwargs)
 
+    if use_int8 and tp > 1:
+        raise SystemExit("--int8 and --tp are mutually exclusive")
     int8_info = {}
     if use_int8:
         from cosmos_tpu.ops.int8 import (
@@ -53,10 +70,18 @@ def main():
             "f32_ckpt_mb": round(before / 1e6, 1),
         }
 
-    img_fn = jax.jit(lambda p, x: model.apply(
-        {"params": p}, x, method=model.encode_image)["image_features"])
-    txt_fn = jax.jit(lambda p, t: model.apply(
-        {"params": p}, t, method=model.encode_text)["text_features"])
+    tp_info = {}
+    if tp > 1:
+        from cosmos_tpu.parallel.tp import create_tp_mesh, make_tp_encoders
+
+        mesh = create_tp_mesh(len(jax.devices()) // tp, tp)
+        params, img_fn, txt_fn = make_tp_encoders(model, params, mesh)
+        tp_info = {"mesh": f"{mesh.shape}"}
+    else:
+        img_fn = jax.jit(lambda p, x: model.apply(
+            {"params": p}, x, method=model.encode_image)["image_features"])
+        txt_fn = jax.jit(lambda p, t: model.apply(
+            {"params": p}, t, method=model.encode_text)["text_features"])
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.normal(size=(b, 224, 224, 3)), jnp.float32)
@@ -82,7 +107,8 @@ def main():
             jnp.linalg.norm(ref, axis=-1) * jnp.linalg.norm(got, axis=-1)
         )
         int8_info["image_embed_cos_vs_f32"] = round(float(cos.mean()), 5)
-    print(json.dumps({"model": name, "batch": b, **results, **int8_info}))
+    print(json.dumps({"model": name, "batch": b, **results, **int8_info,
+                      **tp_info}))
 
 
 if __name__ == "__main__":
