@@ -315,6 +315,27 @@ def test_eva_tower_trains():
     assert float(metrics["grad_norm"]) > 0.0
 
 
+def test_eva_non_native_resolution():
+    """At a non-native input size the pos embed interpolates bicubically
+    and the rope coordinates rescale to the pretraining grid
+    (t = arange(grid)/grid * native_grid) — same params, finite output."""
+    trunk = Eva(model_name="eva02_test_patch8_32")
+    params = trunk.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, IMG, IMG, 3)))["params"]
+    big = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 48, 3))
+    pooled, tokens = trunk.apply({"params": params}, big)
+    assert pooled.shape == (2, W)
+    assert tokens.shape == (2, 1 + (48 // PATCH) ** 2, W)
+    assert np.isfinite(np.asarray(pooled)).all()
+    # rope rescaling: grid 6 reuses the native-grid-4 frequency range
+    cos6, _ = rope_2d_tables(6, 4, HD)
+    cos4, _ = rope_2d_tables(4, 4, HD)
+    # first row (t=0) identical; max coordinate approaches but does not
+    # exceed the pretraining range
+    np.testing.assert_allclose(cos6[0], cos4[0], atol=1e-7)
+    assert cos6.shape == (36, HD)
+
+
 def test_real_geometries_registered():
     # the released EVA02-CLIP towers the reference can load via timm
     for name in ("eva02_base_patch16_clip_224",
