@@ -16,11 +16,12 @@ from cosmos_tpu.ops.int8 import (
     quantize_dense_params,
     quantize_weight,
 )
-from cosmos_tpu.ops.layer_norm import fused_layer_norm
+from cosmos_tpu.ops.layer_norm import fused_layer_norm, hybrid_layer_norm
 
 __all__ = [
     "fused_attention_qkv",
     "fused_layer_norm",
+    "hybrid_layer_norm",
     "int8_matmul",
     "quantize_activations",
     "quantize_dense_params",
