@@ -197,11 +197,23 @@ def _worker_loop(cfg: WdsTrainConfig, worker_index: int, epoch0: int,
             if len(buf) == cfg.batch_size:
                 out_q.put(_collate(buf, cfg))
                 buf = []
-        # epoch exhausted; advance (non-resampled) or follow main's epoch
+        # epoch exhausted: adopt main's announced epoch only when it is
+        # AHEAD of this worker, else self-advance.  The old drain-then-
+        # increment turned a drained e+1 into e+2 (a worker finishing its
+        # pass just after set_epoch(e+1) diverged from its siblings —
+        # different shard permutations whose strided slices overlap, i.e.
+        # duplicated/skipped shards within the epoch); symmetrically a
+        # stale announcement must not drag a self-advanced worker BACK
+        # into repeating an epoch.
+        announced = None
         try:
             while True:
-                epoch = epoch_q.get_nowait()
+                announced = epoch_q.get_nowait()
         except queue_mod.Empty:
+            pass
+        if announced is not None and announced > epoch:
+            epoch = announced
+        else:
             epoch += 1
 
 
@@ -210,7 +222,6 @@ def _collate(buf, cfg: WdsTrainConfig) -> Dict[str, np.ndarray]:
     g = cfg.global_crops_number
     n = cfg.local_crops_number
     out: Dict[str, np.ndarray] = {}
-    first_crops = buf[0][0]
     gi = np.stack([np.stack([s[0][v] for s in buf]) for v in range(g)])
     out["global_images"] = gi  # [g, B, H, W, 3] uint8
     if cfg.use_multicrop and n > 0:
@@ -244,6 +255,18 @@ class WdsTrainLoader:
         self._started = False
 
     def _start(self):
+        # a worker whose strided shard split is empty would spin through
+        # empty epoch passes forever, producing nothing at 100% CPU —
+        # fail loudly instead (the reference asserts the same:
+        # 'number of shards must be >= total workers', data.py:466)
+        total_workers = self.cfg.process_count * max(1, self.cfg.num_workers)
+        if not self.cfg.resampled and len(self.cfg.urls) < total_workers:
+            raise ValueError(
+                f"{len(self.cfg.urls)} shards < {total_workers} total "
+                "workers (process_count x num_workers): some workers would "
+                "receive no shards; reduce --workers, add shards, or use "
+                "--dataset-resampled"
+            )
         if self.cfg.num_workers == 0:
             self._started = True
             return
@@ -285,21 +308,32 @@ class WdsTrainLoader:
                     )
 
     def _inline_iter(self):
-        """num_workers=0 debug path: run the worker loop inline."""
-        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
-        t = threading.Thread(
-            target=_worker_loop,
-            args=(dataclasses.replace(self.cfg, num_workers=1), 0, self._epoch,
-                  q, queue_mod.Queue()),
-            daemon=True,
-        )
-        t.start()
+        """num_workers=0 debug path: the worker loop in ONE persistent
+        daemon thread.  The thread and its epoch queue are created once
+        and the queue is registered in _epoch_qs so set_epoch reaches the
+        stream (a per-__iter__ thread with a throwaway queue would both
+        leak a blocked thread per iter() call and silently ignore the
+        deterministic epoch reseeding contract)."""
+        if not self._procs:
+            q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+            eq: "queue_mod.Queue" = queue_mod.Queue()
+            t = threading.Thread(
+                target=_worker_loop,
+                args=(dataclasses.replace(self.cfg, num_workers=1), 0,
+                      self._epoch, q, eq),
+                daemon=True,
+            )
+            t.start()
+            self._q = q
+            self._epoch_qs = [eq]
+            self._procs = [t]
         while True:
-            yield q.get()
+            yield self._q.get()
 
     def shutdown(self):
         for p in self._procs:
-            p.terminate()
+            if hasattr(p, "terminate"):   # inline path holds a daemon Thread
+                p.terminate()
         self._procs = []
 
 

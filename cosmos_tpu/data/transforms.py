@@ -186,6 +186,21 @@ class MulticropAugmentation:
         return crops
 
 
+def shortest_resize_crop_geometry(w: int, h: int, size: int):
+    """(new_w, new_h, crop_left, crop_top) — torchvision-exact.
+
+    Resize(short_side) TRUNCATES the long side (``int(size*long/short)``,
+    torchvision F.resize) and CenterCrop ROUNDS the offset
+    (``int(round((n - size)/2.0))``, F.center_crop).  round()ing the
+    resize / flooring the crop shifted content by 1px on most
+    non-integral aspect ratios vs the reference eval pipeline."""
+    if w <= h:
+        nw, nh = size, int(size * h / w)
+    else:
+        nw, nh = int(size * w / h), size
+    return nw, nh, int(round((nw - size) / 2.0)), int(round((nh - size) / 2.0))
+
+
 @dataclass
 class EvalTransform:
     """Eval preprocessing (reference transform.py:368-399 resize modes):
@@ -212,11 +227,8 @@ class EvalTransform:
             canvas.paste(img, ((size - nw) // 2, (size - nh) // 2))
             img = canvas
         else:  # shortest
-            s = size / min(w, h)
-            nw, nh = round(w * s), round(h * s)
+            nw, nh, left, top = shortest_resize_crop_geometry(w, h, size)
             img = img.resize((nw, nh), BICUBIC)
-            left = (nw - size) // 2
-            top = (nh - size) // 2
             img = img.crop((left, top, left + size, top + size))
         return normalize_to_array(img, self.mean, self.std)
 

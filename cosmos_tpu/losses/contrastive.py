@@ -103,10 +103,18 @@ class ClipLoss:
             "ibd,jkd->ijbk", q_img, all_txt,
             preferred_element_type=jnp.float32,
         )  # [Vi, Vt, Bq, Bk]
-        logits_per_text = scale * jnp.einsum(
-            "jbd,ikd->ijbk", q_txt, all_img,
-            preferred_element_type=jnp.float32,
-        )  # [Vi, Vt, Bq, Bk]
+        if self.axis_name is not None and self.local_loss:
+            logits_per_text = scale * jnp.einsum(
+                "jbd,ikd->ijbk", q_txt, all_img,
+                preferred_element_type=jnp.float32,
+            )  # [Vi, Vt, Bq, Bk]
+        else:
+            # q_img IS all_img and q_txt IS all_txt here, so the text
+            # logits are an exact transpose of the image logits (the
+            # reference exploits the same identity, loss.py:109-111
+            # ``logits_per_text = logits_per_image.T``) — skip the second
+            # full contraction over the gathered batch
+            logits_per_text = jnp.swapaxes(logits_per_image, -1, -2)
 
         labels = self._labels(q_img.shape[1])
         labels_i = jnp.broadcast_to(

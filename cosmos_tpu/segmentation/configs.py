@@ -93,7 +93,12 @@ SEG_BENCHMARKS: Dict[str, SegBenchmark] = {
         ann_dir="annotations/val2017",
         seg_suffix="_labelTrainIds.png",
         scale=(2048, 448),
-        reduce_zero_label=True,
+        # NO zero-label reduction: _labelTrainIds.png already maps
+        # unlabeled to 255 and class 0 is 'person' (mmseg
+        # COCOStuffDataset reduce_zero_label=False; the reference's
+        # cfg_coco_stuff164k.py uses plain LoadAnnotations).  Reducing
+        # here shifted every label by -1 and scored GT against the
+        # wrong classes.
     ),
     "cityscapes": SegBenchmark(
         name="cityscapes",

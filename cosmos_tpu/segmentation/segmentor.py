@@ -17,8 +17,11 @@ BaseSegmentor there; a standalone class here — no mmseg):
     (:253-284).
 
 TPU design: forward_feature is one jitted function per (window, n_query)
-shape; the slide loop runs on host over fixed-shape windows so a single
-compiled executable serves every benchmark image.
+shape; the slide loop runs on host and feeds windows in FIXED-SIZE
+zero-padded chunks (``window_chunk``) — per-image window counts vary
+with aspect ratio, and a raw variable-length batch would recompile the
+encoder per distinct count.  One compiled executable serves every
+benchmark image.
 """
 
 from __future__ import annotations
@@ -80,6 +83,7 @@ class CLIPSegmentor:
         use_csa: bool = False,
         image_mean: Sequence[float] = (0.48145466, 0.4578275, 0.40821073),
         image_std: Sequence[float] = (0.26862954, 0.26130258, 0.27577711),
+        window_chunk: int = 8,
     ):
         self.model = model
         self.params = params
@@ -95,6 +99,7 @@ class CLIPSegmentor:
         self.pamr_steps = pamr_steps
         self.pamr_stride = tuple(pamr_stride)
         self.use_csa = use_csa
+        self.window_chunk = window_chunk
         self.mean = np.asarray(image_mean, np.float32)
         self.std = np.asarray(image_std, np.float32)
 
@@ -174,11 +179,27 @@ class CLIPSegmentor:
                 y1, x1 = y2 - crop, x2 - crop
                 windows.append(img[0, y1:y2, x1:x2])
                 coords.append((y1, x1))
-        batch = jnp.asarray(np.stack(windows))
-        logits = self._forward_feature(batch)          # [Nw, gh, gw, Q]
-        logits = np.asarray(
-            resize_bilinear(logits, (crop, crop))
-        )
+        # fixed-size window chunks (last one zero-padded): the window
+        # count varies per image aspect ratio, and feeding the raw [Nw]
+        # batch to the jitted forward would recompile the full encoder
+        # for every distinct Nw across a benchmark — minutes of compile
+        # per new shape.  Chunking keeps ONE compiled executable (the
+        # module docstring's design contract); padded rows are dropped
+        # before accumulation.
+        stack = np.stack(windows)
+        nw = stack.shape[0]
+        ch = self.window_chunk
+        parts = []
+        for i0 in range(0, nw, ch):
+            chunk = stack[i0:i0 + ch]
+            n = chunk.shape[0]
+            if n < ch:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((ch - n,) + chunk.shape[1:],
+                                     chunk.dtype)])
+            lg = self._forward_feature(jnp.asarray(chunk))
+            parts.append(np.asarray(resize_bilinear(lg, (crop, crop)))[:n])
+        logits = np.concatenate(parts)
         for (y1, x1), lg in zip(coords, logits):
             preds[y1 : y1 + crop, x1 : x1 + crop] += lg
             count[y1 : y1 + crop, x1 : x1 + crop] += 1.0

@@ -252,3 +252,66 @@ def test_loader_multiprocess_workers(tmp_path):
     for p in procs:
         p.join(timeout=10)
         assert not p.is_alive()
+
+
+def test_shortest_geometry_matches_torchvision():
+    """Resize(short)+CenterCrop geometry must be torchvision-exact:
+    F.resize truncates the long side, F.center_crop rounds the offset."""
+    from cosmos_tpu.data.transforms import shortest_resize_crop_geometry
+
+    # (w, h, size) -> torchvision (nw, nh, left, top), hand-computed
+    cases = {
+        (500, 375, 224): (298, 224, 37, 0),   # int(224*500/375)=298
+        (375, 500, 224): (224, 298, 0, 37),
+        (640, 480, 224): (298, 224, 37, 0),
+        (401, 400, 224): (224, 224, 0, 0),    # int(224*401/400)=224
+        (333, 500, 336): (336, 504, 0, 84),
+        (224, 224, 224): (224, 224, 0, 0),
+    }
+    for (w, h, size), want in cases.items():
+        assert shortest_resize_crop_geometry(w, h, size) == want, (w, h, size)
+
+
+def test_loader_rejects_starved_workers(tmp_path):
+    """Fewer shards than total workers must fail loudly at start (the
+    reference asserts the same, data.py:466) — a worker with an empty
+    strided shard split would otherwise spin forever producing nothing."""
+    import pytest as _pytest
+
+    from cosmos_tpu.data.loader import WdsTrainConfig, WdsTrainLoader
+
+    shard = _make_shard(tmp_path / "only.tar", 4)
+    cfg = WdsTrainConfig(urls=[shard], batch_size=2, num_workers=4,
+                         image_size=32, local_size=16, context_length=16)
+    loader = WdsTrainLoader(cfg)
+    with _pytest.raises(ValueError, match="shards"):
+        next(iter(loader))
+    # resampled mode samples with replacement: no starvation possible
+    cfg2 = WdsTrainConfig(urls=[shard], batch_size=2, num_workers=0,
+                          resampled=True, image_size=32, local_size=16,
+                          num_sampled_captions=2, context_length=16,
+                          local_crops_number=2, shuffle_buffer=2)
+    batch = next(iter(WdsTrainLoader(cfg2)))
+    assert batch["global_images"].shape[1] == 2
+
+
+def test_inline_loader_set_epoch_reaches_worker(tmp_path):
+    """num_workers=0: the inline thread must be persistent (no new thread
+    per iter()) and wired to a real epoch queue so set_epoch's
+    deterministic reseeding contract holds (it used to be silently
+    dropped on this path)."""
+    from cosmos_tpu.data.loader import WdsTrainConfig, WdsTrainLoader
+
+    shards = [_make_shard(tmp_path / f"e{i}.tar", 8, seed=i) for i in range(2)]
+    cfg = WdsTrainConfig(
+        urls=shards, batch_size=4, num_workers=0, local_crops_number=2,
+        image_size=32, local_size=16, num_sampled_captions=2,
+        context_length=16, shuffle_buffer=4,
+    )
+    loader = WdsTrainLoader(cfg)
+    next(iter(loader))
+    assert len(loader._procs) == 1 and len(loader._epoch_qs) == 1
+    next(iter(loader))                    # re-iter: same thread, no leak
+    assert len(loader._procs) == 1
+    loader.set_epoch(7)
+    assert loader._epoch_qs[0].get(timeout=5) == 7

@@ -203,3 +203,46 @@ def test_seg_eval_cli_end_to_end(tiny_seg_setup, monkeypatch, capsys):
     # the CLI prints one JSON object for scripting
     printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "tiny-cli" in printed
+
+
+def test_reduce_zero_label_matches_reference():
+    """Per-benchmark zero-label reduction must mirror the reference:
+    voc20 (custom_datasets.py:30), context59 (:152) and ade20k
+    (cfg_ade20k.py:17) reduce; coco_stuff does NOT (mmseg
+    COCOStuffDataset + plain LoadAnnotations in cfg_coco_stuff164k.py —
+    _labelTrainIds.png already maps unlabeled to 255), nor do the
+    with-background variants or cityscapes/coco_object."""
+    from cosmos_tpu.segmentation.configs import SEG_BENCHMARKS
+
+    expected = {
+        "voc20": True, "context59": True, "ade20k": True,
+        "voc21": False, "context60": False, "coco_object": False,
+        "coco_stuff": False, "cityscapes": False,
+    }
+    got = {k: v.reduce_zero_label for k, v in SEG_BENCHMARKS.items()}
+    assert got == expected
+
+
+def test_window_chunking_is_equivalent(tiny_seg_setup):
+    """forward_slide must give identical logits whether the windows run
+    in one batch or in fixed-size zero-padded chunks (the chunking
+    exists so varying per-image window counts reuse ONE compiled
+    encoder instead of recompiling per aspect ratio)."""
+    from cosmos_tpu.models.factory import create_model, get_tokenizer
+
+    bench, _ = tiny_seg_setup
+    model, params = create_model(
+        "ViT-Tiny-Test", cosmos=True, output_all=True,
+        attentional_pool=True, add_zero_attn=True,
+    )
+    tok = get_tokenizer("ViT-Tiny-Test")
+    kw = dict(slide_crop=32, slide_stride=16)
+    ds = SegDataset(bench)
+    img, _ = ds[0]
+    big = CLIPSegmentor(model, params, tok, ["cat", "dog"],
+                        window_chunk=64, **kw)
+    small = CLIPSegmentor(model, params, tok, ["cat", "dog"],
+                          window_chunk=2, **kw)
+    np.testing.assert_allclose(
+        big.forward_slide(img), small.forward_slide(img),
+        atol=1e-5, rtol=1e-5)
