@@ -142,9 +142,7 @@ class CoCa(nn.Module):
         # CoCa pools patch tokens with learned queries; query 0 becomes the
         # contrastive latent, the rest condition the decoder
         # (reference transformer.py:640-646 'original OpenCLIP CoCa setup')
-        pooled_seq = self.visual_attn_pool(
-            jnp.concatenate([raw_tokens], axis=1)
-        )
+        pooled_seq = self.visual_attn_pool(raw_tokens)
         pooled_seq = self.ln_attn_pool(pooled_seq)
         latent, tokens = pooled_seq[:, 0], pooled_seq[:, 1:]
         latent = jnp.dot(
@@ -250,12 +248,18 @@ def generate(
             choice = jax.random.categorical(sub, vals)
             nxt = jnp.take_along_axis(idxs, choice[:, None], axis=1)[:, 0]
         elif generation_type == "top_p":
+            # HF TopPLogitsWarper semantics (the reference drives it,
+            # coca_model.py:259-260): keep the SMALLEST set of most
+            # probable tokens whose mass reaches top_p — token j (desc
+            # order) survives iff the cumulative mass BEFORE it is still
+            # < top_p.  (The previous cum < (1 - top_p) cutoff kept the
+            # top 1-top_p mass — the inverse of the documented knob.)
             sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
             probs = jax.nn.softmax(sorted_logits, axis=-1)
             cum = jnp.cumsum(probs, axis=-1)
-            cutoff_idx = jnp.sum(cum < (1 - top_p), axis=-1)
+            keep = jnp.sum((cum - probs) < top_p, axis=-1)   # always >= 1
             cutoff = jnp.take_along_axis(
-                sorted_logits, cutoff_idx[:, None], axis=1
+                sorted_logits, (keep - 1)[:, None], axis=1
             )
             filtered = jnp.where(logits < cutoff, -1e30, logits)
             nxt = jax.random.categorical(sub, filtered)

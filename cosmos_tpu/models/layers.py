@@ -235,13 +235,19 @@ def patch_dropout(
     """
     if prob <= 0.0:
         return x
-    cls_tokens, tokens = (x[:, :1], x[:, 1:]) if exclude_first_token else (x[:, :1], x[:, 1:])
+    if exclude_first_token:
+        cls_tokens, tokens = x[:, :1], x[:, 1:]
+    else:
+        # reference PatchDropout (transformer.py:64-67): with
+        # exclude_first_token=False EVERY token is in the dropout pool
+        # and nothing is re-prepended
+        cls_tokens, tokens = None, x
     b, n, _ = tokens.shape
     num_keep = max(1, int(n * (1.0 - prob)))
     scores = jax.random.normal(rng, (b, n))
     _, keep_idx = jax.lax.top_k(scores, num_keep)
     kept = jnp.take_along_axis(tokens, keep_idx[..., None], axis=1)
-    if exclude_first_token:
+    if cls_tokens is not None:
         kept = jnp.concatenate([cls_tokens, kept], axis=1)
     return kept
 

@@ -268,8 +268,17 @@ class VisionTransformer(nn.Module):
         )
         x = x + pe.astype(x.dtype)[None]
 
-        if self.patch_dropout_prob > 0.0 and patch_drop_rng is not None:
-            x = patch_dropout(x, patch_drop_rng, self.patch_dropout_prob)
+        if self.patch_dropout_prob > 0.0:
+            # training-only (PatchDropout is identity in reference eval,
+            # transformer.py:57): active when the caller provides either
+            # an explicit rng or a 'patch_drop' rng collection
+            # (model.apply(..., rngs={'patch_drop': key}) — the train
+            # step supplies it; eval paths don't, so they trace
+            # dropout-free)
+            if patch_drop_rng is None and self.has_rng("patch_drop"):
+                patch_drop_rng = self.make_rng("patch_drop")
+            if patch_drop_rng is not None:
+                x = patch_dropout(x, patch_drop_rng, self.patch_dropout_prob)
 
         if self.ln_pre is not None:
             x = self.ln_pre(x)

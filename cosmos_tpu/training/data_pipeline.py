@@ -170,18 +170,6 @@ class CsvTrainLoader:
                     crops_list, tokens_list = [], []
 
 
-class _LabeledImageLoader:
-    """(images, labels) batches from a map dataset with an eval transform."""
-
-    def __init__(self, dataset, batch_size, num_threads=16):
-        self.inner = MapDatasetLoader(dataset, batch_size, num_threads)
-
-    def __len__(self):
-        return len(self.inner)
-
-    def __iter__(self):
-        yield from self.inner
-
 
 def _detect_dataset_type(args) -> str:
     if args.dataset_type != "auto":
@@ -310,13 +298,13 @@ def get_data(
 
     if args.imagenet_val:
         ds = ImageFolderDataset(args.imagenet_val, transform=eval_tf)
-        data["imagenet-val"] = _LabeledImageLoader(ds, args.batch_size)
+        data["imagenet-val"] = MapDatasetLoader(ds, args.batch_size)
 
     if args.imagenet_v2:
         # ImageNetV2 (reference data.py:144-146): folder of integer class
         # dirs 0..999; numeric dir ordering in ImageFolderDataset matches
         ds = ImageFolderDataset(args.imagenet_v2, transform=eval_tf)
-        data["imagenet-v2"] = _LabeledImageLoader(ds, args.batch_size)
+        data["imagenet-v2"] = MapDatasetLoader(ds, args.batch_size)
 
     if args.classification_data_dir and args.zeroshot_eval_datasets:
         from cosmos_tpu.data.classification import ClassificationDataset
@@ -337,6 +325,6 @@ def get_data(
                     "falling back to class-folder layout"
                 )
                 ds = ImageFolderDataset(root, transform=eval_tf)
-            data[name] = _LabeledImageLoader(ds, args.batch_size)
+            data[name] = MapDatasetLoader(ds, args.batch_size)
 
     return data

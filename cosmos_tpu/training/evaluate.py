@@ -132,9 +132,24 @@ def make_encoders(model, params, mesh=None):
         params = jax.device_put(params, NamedSharding(mesh, P()))
         batch_sh = NamedSharding(mesh, P(DATA_AXIS))
 
+        ndev = mesh.devices.size
+
         def _wrap(fn):
             def call(x):
-                return fn(params, jax.device_put(jnp.asarray(x), batch_sh))
+                # pad to a device-count multiple: P(DATA_AXIS) placement
+                # requires even shards, and callers feed uneven batches
+                # (e.g. build_zero_shot_classifier's n_classes x
+                # n_templates chunks — cifar10 x 18 templates = 180 rows
+                # on an 8-device mesh would crash the first in-training
+                # eval otherwise)
+                x = jnp.asarray(x)
+                n = x.shape[0]
+                pad = (-n) % ndev
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+                out = fn(params, jax.device_put(x, batch_sh))
+                return out[:n] if pad else out
             return call
 
         return (_wrap(enc_image), _wrap(enc_text_norm), _wrap(enc_text_raw))
@@ -244,6 +259,13 @@ def evaluate(
     epochs = getattr(args, "epochs", epoch)
     zero_shot = bool(zs_freq) and (epoch % zs_freq == 0 or epoch == epochs)
     retrieval = bool(rt_freq) and (epoch % rt_freq == 0 or epoch == epochs)
+    # --eval-mode narrows an eval-only run to one family (the inference
+    # scripts pass it); it used to be accepted but never dispatched
+    mode = getattr(args, "eval_mode", "")
+    if mode == "retrieval":
+        zero_shot = False
+    elif mode == "classification":
+        retrieval = False
     student_params = host_local_params(state.params)
     eval_teacher = (
         getattr(args, "eval_teacher", True) and state.teacher_params is not None

@@ -214,6 +214,12 @@ def main(argv=None) -> Dict:
     )
 
     # --- eval-only modes (main.py:518-534) -------------------------------
+    if args.eval_mode == "segmentation":
+        raise SystemExit(
+            "--eval-mode segmentation: segmentation has its own CLI — "
+            "python -m cosmos_tpu.training.seg_eval (see "
+            "scripts/inference_segmentation.sh)"
+        )
     if "train" not in data or args.eval_mode:
         class _EvalState:
             def __init__(self, p):
@@ -340,6 +346,12 @@ def main(argv=None) -> Dict:
         # saved meta 'epoch' is the COMPLETED-epoch count (main.py:551),
         # so training continues from that index
         state, start_epoch = restore_checkpoint(state, resume)
+        # re-commit onto the mesh: restore hands back HOST arrays, and an
+        # uncommitted state re-triggers the double-compile
+        # create_train_state(mesh) exists to avoid (~10 min on v5e)
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        state = jax.device_put(state, NamedSharding(mesh, _P()))
         logger.info(f"resumed from {resume} at epoch {start_epoch}")
 
     # --- remote sync daemon (main.py:193-214) ----------------------------
@@ -431,7 +443,12 @@ def main(argv=None) -> Dict:
                     if isinstance(v, (int, float)):
                         writer.add_scalar(f"eval/{k}", v, completed)
 
-        if args.save_frequency and completed % args.save_frequency == 0:
+        # master-only: params are replicated so host 0 holds the full
+        # state, and concurrent same-path Orbax saves from every process
+        # would race on the snapshot dir and the latest pointer
+        # (reference gates saving on is_master too, main.py:552)
+        if (args.save_frequency and completed % args.save_frequency == 0
+                and is_master):
             save_checkpoint(
                 state,
                 args.checkpoint_path,

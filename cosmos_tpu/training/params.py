@@ -115,7 +115,14 @@ def parse_args(args=None):
     add("--remat-policy", type=str, default="")
     add("--local-loss", action="store_true", default=False,
         help="compute [B_local, B_global] logit rows per device")
-    add("--gather-with-grad", action="store_true", default=True)
+    # default True DIVERGES from the reference's False (params.py:310-314)
+    # deliberately: reverse-mode all_gather lowers to reduce_scatter on
+    # ICI, so grad-through-gather is the natural XLA pattern — and the
+    # two forms produce EQUIVALENT total gradients anyway (the
+    # reference's no-grad gather + local-block splice + DDP all-reduce
+    # recovers every negative's gradient on its home rank).  PARITY.md.
+    add("--gather-with-grad", action=argparse.BooleanOptionalAction,
+        default=True)
     add("--force-quick-gelu", action="store_true", default=False)
     add("--force-patch-dropout", type=float, default=None)
     add("--force-image-size", type=int, default=None)
@@ -161,10 +168,14 @@ def parse_args(args=None):
     # the reference pairs these with freeze-RUNNING-STATS semantics; in JAX
     # LN has no running stats and frozen-BN stats never update unless
     # passed as mutable, so only the param-freezing half has effect here
-    add("--lock-text-freeze-layer-norm", action="store_true", default=False,
-        help="also freeze LayerNorm params inside locked text modules "
-             "(reference hf_model.py:174; native reference towers always "
-             "freeze them)")
+    add("--lock-text-freeze-layer-norm", action=argparse.BooleanOptionalAction,
+        default=None,
+        help="freeze LayerNorm params inside locked text modules.  Unset "
+             "= reference-exact per tower (native towers always freeze "
+             "them, transformer.py:881-883; HF towers leave them "
+             "trainable, hf_model.py:174 under the reference CLI "
+             "default); --lock-text-freeze-layer-norm / "
+             "--no-lock-text-freeze-layer-norm force either behavior")
     add("--lock-image-freeze-bn-stats", action="store_true", default=False,
         help="accepted for launch-script parity; BN running stats are "
              "frozen by construction in this framework (PARITY.md)")
@@ -221,8 +232,10 @@ def parse_args(args=None):
     add("--retrieval-frequency", type=int, default=1)
     add("--eval-mode", type=str, default="",
         choices=["", "retrieval", "classification", "segmentation"])
-    add("--eval-teacher", action="store_true", default=True,
-        help="also evaluate the EMA teacher (reference evaluates both)")
+    add("--eval-teacher", action=argparse.BooleanOptionalAction,
+        default=True,
+        help="also evaluate the EMA teacher (reference evaluates both); "
+             "--no-eval-teacher for student-only eval")
 
     # logging
     add("--log-every-n-steps", type=int, default=100)

@@ -69,7 +69,7 @@ def wd_mask(params) -> Any:
 
 def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
                 unlocked_groups: int = 0, text_unlocked_layers: int = 0,
-                text_freeze_layer_norm: bool = True):
+                text_freeze_layer_norm: Optional[bool] = None):
     """True where updates must be ZEROED (LiT locking, main.py:321-335).
 
     ``unlocked_groups`` > 0 keeps the LAST n image-tower groups trainable,
@@ -87,13 +87,14 @@ def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
     HF towers follow the reference module list exactly: the frozen set is
     ``[embeddings, *encoder.layer][:-n]``; the HF pooler and the CLIP
     projection head are never frozen (reference lock only walks
-    ``self.transformer``).  ``text_freeze_layer_norm=False`` keeps
-    LayerNorm params inside frozen text modules trainable (hf_model.py:174
-    behavior).  Note the defaults mirror the reference's two surfaces:
-    this API defaults to True like ``lock_text_tower`` (model.py:473),
-    while the CLI flag is store_true/False (params.py:447-450) — main.py
-    passes the CLI value through, so a bare ``--lock-text`` leaves LNs
-    trainable in HF towers, exactly as the reference does.  The
+    ``self.transformer``).  ``text_freeze_layer_norm`` is TRI-STATE:
+    ``None`` (default) reproduces the reference's per-tower behavior —
+    native towers freeze their LayerNorms (TextTransformer.lock ignores
+    the flag and freezes everything, transformer.py:881-883) while HF
+    towers leave them trainable (hf_model.py:174 with the CLI's False
+    default, params.py:447-450); an explicit True/False (the
+    --[no-]lock-text-freeze-layer-norm CLI spellings) forces that
+    behavior for either tower kind.  The
     reference's freeze-BN/LN *running stats* halves of these flags are
     no-ops by construction in JAX: LayerNorm has no running stats and
     frozen-BN batch_stats never update unless passed as mutable
@@ -190,7 +191,9 @@ def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
                 li = names.index("layer")
                 frozen = (li + 1 < len(names)
                           and names[li + 1] in hf_frozen_layers)
-            if frozen and not text_freeze_layer_norm and any(
+            hf_fln = (False if text_freeze_layer_norm is None
+                      else text_freeze_layer_norm)
+            if frozen and not hf_fln and any(
                 n == "LayerNorm" for n in names
             ):
                 return False
@@ -204,7 +207,9 @@ def frozen_mask(params, lock_image: bool = False, lock_text: bool = False,
                     for n in names
                 ):
                     return False
-            if not text_freeze_layer_norm and any(
+            native_fln = (True if text_freeze_layer_norm is None
+                          else text_freeze_layer_norm)
+            if not native_fln and any(
                 n.startswith("ln_") for n in names
             ):
                 return False
@@ -226,7 +231,7 @@ def create_optimizer(
     lock_text: bool = False,
     lock_image_unlocked_groups: int = 0,
     lock_text_unlocked_layers: int = 0,
-    lock_text_freeze_layer_norm: bool = True,
+    lock_text_freeze_layer_norm: Optional[bool] = None,
 ) -> optax.GradientTransformation:
     txs = []
     if grad_clip_norm is not None:
@@ -401,6 +406,22 @@ def make_train_step(
             return ((x.astype(jnp.float32) - mean) * inv_std).astype(cfg.input_dtype)
         return x.astype(cfg.input_dtype)
 
+    # --force-patch-dropout: the vision tower pulls a 'patch_drop' rng
+    # collection (vit.py) — the STUDENT forwards supply it per step; the
+    # teacher/distill forwards and every eval path trace dropout-free
+    # (reference PatchDropout is identity in eval, transformer.py:57)
+    patch_drop_active = (
+        getattr(getattr(model, "cfg", None), "vision_cfg", None) is not None
+        and getattr(model.cfg.vision_cfg, "patch_dropout", 0.0) > 0.0
+    )
+
+    def _student_rngs(step):
+        if not patch_drop_active:
+            return {}
+        r = jax.random.fold_in(jax.random.PRNGKey(17), step)
+        r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+        return {"rngs": {"patch_drop": r}}
+
     def _loss_fn(params, teacher_params, batch, step, dist_params=None):
         g = batch["global_images"]          # [2, B, H, W, 3]
         vg, b = g.shape[0], g.shape[1]
@@ -427,7 +448,8 @@ def make_train_step(
                     "--num-sampled-captions >= 2"
                 )
             s_out = model.apply(
-                {"params": params}, g_flat, t_flat, l_flat, batch_size=b
+                {"params": params}, g_flat, t_flat, l_flat, batch_size=b,
+                **_student_rngs(step),
             )
             # teacher: 2 global crops + first 2 caption views, stop-grad
             t_out = model.apply(
@@ -449,7 +471,8 @@ def make_train_step(
                 output_dict=True,
             )
         elif cfg.siglip:
-            s_out = model.apply({"params": params}, g_flat, t_flat, l_flat)
+            s_out = model.apply({"params": params}, g_flat, t_flat, l_flat,
+                                **_student_rngs(step))
             losses = loss_obj(
                 _views(s_out["image_features"], vg + vl)[0],
                 _views(s_out["text_features"], k)[0],
@@ -462,7 +485,8 @@ def make_train_step(
             # decoder CE is per-caption and the reference CoCa recipe uses
             # plain (non-multicrop) transforms (coca_model.py:157-191)
             s_out = model.apply(
-                {"params": params}, g_flat[:b], t[0], output_labels=True
+                {"params": params}, g_flat[:b], t[0], output_labels=True,
+                **_student_rngs(step),
             )
             losses = loss_obj(
                 s_out["image_features"],
@@ -475,7 +499,8 @@ def make_train_step(
         elif cfg.distill:
             # frozen distillation teacher forward on the same views
             # (reference train.py:148-166); stop_gradient inside the loss
-            s_out = model.apply({"params": params}, g_flat, t_flat, l_flat)
+            s_out = model.apply({"params": params}, g_flat, t_flat, l_flat,
+                                **_student_rngs(step))
             d_out = dist_model.apply(
                 {"params": dist_params}, g_flat, t_flat, l_flat
             )
@@ -489,7 +514,8 @@ def make_train_step(
                 output_dict=True,
             )
         else:
-            s_out = model.apply({"params": params}, g_flat, t_flat, l_flat)
+            s_out = model.apply({"params": params}, g_flat, t_flat, l_flat,
+                                **_student_rngs(step))
             losses = loss_obj(
                 _views(s_out["image_features"], vg + vl),
                 _views(s_out["text_features"], k),

@@ -63,6 +63,26 @@ def test_generation(coca):
         assert t2.shape == (2, 8)
 
 
+def test_top_p_nucleus_semantics(coca):
+    """HF TopPLogitsWarper semantics: a vanishing top_p keeps only the
+    argmax, so top_p sampling degenerates to greedy — the old inverted
+    cutoff kept ~the whole vocabulary at small top_p instead."""
+    from cosmos_tpu.models.coca import generate
+
+    model, params = coca
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    greedy = generate(
+        model, params, imgs, seq_len=8, sot_token_id=510,
+        eot_token_id=511, min_seq_len=2, generation_type="greedy",
+    )
+    nucleus = generate(
+        model, params, imgs, seq_len=8, sot_token_id=510,
+        eot_token_id=511, min_seq_len=2, generation_type="top_p",
+        top_p=1e-6, rng=jax.random.PRNGKey(7),
+    )
+    np.testing.assert_array_equal(np.asarray(nucleus), np.asarray(greedy))
+
+
 def test_beam_search(coca):
     from cosmos_tpu.models.coca import beam_search_generate
 

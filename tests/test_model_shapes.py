@@ -142,3 +142,24 @@ def test_create_model_and_transforms_surface():
     # plain (non-multicrop) train transform branch
     _, _, plain_tf, _ = create_model_and_transforms("ViT-Tiny-Test")
     assert plain_tf(img).shape == (32, 32, 3)
+
+
+def test_patch_dropout_wiring():
+    """--force-patch-dropout must actually drop tokens in training: the
+    vision tower pulls a 'patch_drop' rng collection (the train step
+    supplies it); eval paths without rngs trace dropout-free."""
+    from cosmos_tpu.models.factory import create_model
+
+    model, params = create_model("ViT-B-16", force_patch_dropout=0.5, **TINY)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+
+    def enc(rngs=None):
+        return model.apply({"params": params}, imgs, True,
+                           method=model.encode_image,
+                           rngs=rngs)["image_features"]
+
+    # eval: deterministic, dropout-free
+    np.testing.assert_array_equal(np.asarray(enc()), np.asarray(enc()))
+    # training rng: dropout active -> different features
+    dropped = enc(rngs={"patch_drop": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(dropped), np.asarray(enc()))
