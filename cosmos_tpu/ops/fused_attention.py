@@ -338,6 +338,15 @@ def _fwd_block(batch: int, l: int, w: int, itemsize: int) -> int:
 def _fa_fwd(qkv, num_heads, causal, interpret):
     b, l, d3 = qkv.shape
     d = d3 // 3
+    if d3 != 3 * d or not supported(num_heads, d):
+        # fail fast with the geometry instead of a ZeroDivisionError deep
+        # in the grid math (supported() is advisory; the public entry
+        # point must validate)
+        raise ValueError(
+            f"fused_attention_qkv: unsupported geometry last_dim={d3} "
+            f"num_heads={num_heads} (need last_dim divisible by 3 and a "
+            f"64/128 head dim; see ops.fused_attention.supported)"
+        )
     dh = d // num_heads
     hg = _head_group(num_heads, dh)
     ng = num_heads // hg

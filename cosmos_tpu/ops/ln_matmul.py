@@ -44,13 +44,16 @@ def _pick_row_block(r: int, d: int, o: int, itemsize: int) -> int:
         working = weights + cand * (d * (itemsize + 4) + o * 4)
         if working <= budget:
             return cand
-    if weights + 8 * (d * (itemsize + 4) + o * 4) > budget:
-        raise ValueError(
-            f"fused LN->matmul: weight ({weights/2**20:.0f} MiB at "
-            f"d={d}, out={o}) cannot fit the VMEM budget — use the "
-            "unfused XLA path (fuse_ln=False) for this width"
-        )
-    return r
+    # no power-of-two divisor: the whole array becomes one block — but
+    # only if it actually fits (a non-8-divisible row count must not
+    # bypass the budget this function exists to enforce)
+    if weights + r * (d * (itemsize + 4) + o * 4) <= budget:
+        return r
+    raise ValueError(
+        f"fused LN->matmul: no row block of {r} rows fits the VMEM "
+        f"budget (weights {weights/2**20:.0f} MiB at d={d}, out={o}) — "
+        "use the unfused XLA path (fuse_ln=False) for this shape"
+    )
 
 
 def _kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps):

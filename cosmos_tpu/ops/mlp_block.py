@@ -42,13 +42,17 @@ def _pick_row_block(r: int, d: int, hd: int, itemsize: int) -> int:
         working = weights + cand * (d * (itemsize + 4) + hd * 4 + d * itemsize)
         if working <= budget:
             return cand
-    if weights + 8 * (d * (itemsize + 4) + hd * 4) > budget:
-        raise ValueError(
-            f"fused MLP block: weights ({weights/2**20:.0f} MiB at "
-            f"d={d}, hidden={hd}) cannot fit the VMEM budget — use the "
-            "unfused XLA path (fuse_ln=False) for this width"
-        )
-    return r
+    # no power-of-two divisor: the whole array becomes one block — but
+    # only if it actually fits (a non-8-divisible row count must not
+    # bypass the budget; include the same y/hidden terms the loop does)
+    if weights + r * (d * (itemsize + 4) + hd * 4 + d * itemsize) <= budget:
+        return r
+    raise ValueError(
+        f"fused MLP block: no row block of {r} rows fits the VMEM "
+        f"budget (weights {weights/2**20:.0f} MiB at d={d}, "
+        f"hidden={hd}) — use the unfused XLA path (fuse_ln=False) for "
+        "this shape"
+    )
 
 
 def _ln_f32(x, g, b, eps):

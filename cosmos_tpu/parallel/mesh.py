@@ -39,11 +39,22 @@ def init_distributed(
     running under a TPU pod runtime (jax.distributed handles that itself).
     """
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
-    if coordinator_address and jax.process_count() == 1:
+    # ORDER MATTERS: jax.distributed.initialize must run before ANY call
+    # that initializes the XLA backend — including jax.process_count().
+    # The previous `and jax.process_count() == 1` guard initialized the
+    # backend while evaluating itself, making initialize() always raise;
+    # is_initialized() checks the distributed client without touching
+    # the backend.
+    if coordinator_address and not jax.distributed.is_initialized():
+        if num_processes is None:
+            num_processes = int(os.environ.get("NUM_PROCESSES", "1"))
+        if process_id is None:
+            # explicit 0 is a valid rank — do not `or` it away
+            process_id = int(os.environ.get("PROCESS_ID", "0"))
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
-            num_processes=num_processes or int(os.environ.get("NUM_PROCESSES", "1")),
-            process_id=process_id or int(os.environ.get("PROCESS_ID", "0")),
+            num_processes=num_processes,
+            process_id=process_id,
         )
     return jax.process_index(), jax.process_count()
 
@@ -73,10 +84,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def local_batch_size(global_batch: int, mesh: Mesh) -> int:
-    n = mesh.devices.size
+def per_process_batch_size(global_batch: int) -> int:
+    """Rows THIS process's loader must contribute so shard_batch's
+    process-local assembly reaches ``global_batch`` rows in total."""
+    n = jax.process_count()
     assert global_batch % n == 0, (
-        f"global batch {global_batch} not divisible by {n} devices"
+        f"global batch {global_batch} not divisible by {n} processes"
     )
     return global_batch // n
 

@@ -42,7 +42,8 @@ MODEL_AXIS = "model"
 _COL_KERNELS = ("c_fc", "q", "kv", "q_proj", "k_proj", "v_proj",
                 "w1", "w2", "head_fc1")
 _ROW_KERNELS = ("c_proj", "out_proj", "out", "w3", "head_fc2")
-_PACKED_COL = ("attn",)  # attn/in_proj_kernel [D, 3D]
+# (the packed attn/in_proj_kernel [D, 3D] is the named special case in
+# tp_spec — its bias shards like a column-parallel output)
 
 
 def create_tp_mesh(dp: int, tp: int, devices=None) -> Mesh:
@@ -58,7 +59,6 @@ def create_tp_mesh(dp: int, tp: int, devices=None) -> Mesh:
 def tp_spec(path, leaf) -> P:
     """PartitionSpec for one param leaf under Megatron-style TP."""
     names = [p.key for p in path if hasattr(p, "key")]
-    joined = set(names)
     last = names[-1] if names else ""
     if leaf.ndim == 0:
         return P()
@@ -79,7 +79,6 @@ def tp_spec(path, leaf) -> P:
             return P()          # added once, after the row-parallel psum
     # embeddings, LN scales/biases, pos embeds, projections, logit scales:
     # replicated — they are small relative to the matmul weights
-    del joined
     return P()
 
 
@@ -101,8 +100,20 @@ def make_tp_encoders(model, params, mesh: Mesh) -> Tuple[Any, Any, Any]:
     encoders with weights tensor-parallel over 'model' and the batch over
     'data'.  The model must expose encode_image/encode_text (CLIP surface).
     """
-    sharded = shard_params_tp(params, mesh)
+    uf = getattr(model, "use_flash", None)
+    flash_engages = uf is True or (
+        uf is None and jax.default_backend() in ("tpu", "axon")
+    )  # mirror MultiheadAttention's tri-state resolution
+    if mesh.shape.get(MODEL_AXIS, 1) > 1 and flash_engages:
+        raise ValueError(
+            "tensor-parallel encoders need the XLA attention formulation: "
+            "build the model with use_flash=False (the Pallas fused-"
+            "attention kernel is a custom call the XLA partitioner cannot "
+            "split; on TPU the default use_flash=None resolves to the "
+            "kernel and would silently defeat the model-axis sharding)"
+        )
     param_shardings = tp_param_shardings(params, mesh)
+    sharded = jax.tree.map(jax.device_put, params, param_shardings)
     batch_in = NamedSharding(mesh, P(DATA_AXIS))
     out_sh = NamedSharding(mesh, P(DATA_AXIS))
 
