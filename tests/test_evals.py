@@ -138,3 +138,23 @@ def test_mesh_sharded_encoders_match_single_device():
     np.testing.assert_allclose(
         np.asarray(enc_t_mesh(toks)), np.asarray(enc_t_plain(toks)), atol=1e-5
     )
+
+
+def test_mesh_encoders_accept_uneven_batches():
+    """Batch sizes not divisible by the device count must work on the
+    mesh path (build_zero_shot_classifier feeds n_classes x n_templates
+    chunks — e.g. 180 rows on 8 devices — which crashed P(data)
+    placement before the pad-and-slice fix)."""
+    import jax
+    from cosmos_tpu.models.factory import create_model
+    from cosmos_tpu.parallel.mesh import create_mesh
+    from cosmos_tpu.training.evaluate import make_encoders
+
+    model, params = create_model("ViT-Tiny-Test")
+    mesh = create_mesh(8)
+    _, enc_t_plain, _ = make_encoders(model, params, mesh=None)
+    _, enc_t_mesh, _ = make_encoders(model, params, mesh=mesh)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (180, 16), 1, 49407)
+    got = np.asarray(enc_t_mesh(toks))
+    assert got.shape[0] == 180
+    np.testing.assert_allclose(got, np.asarray(enc_t_plain(toks)), atol=1e-5)
