@@ -12,7 +12,7 @@ cosmos_tpu.data.* without pulling in jax (and with it the TPU runtime —
 one chip cannot be claimed by several processes).
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 _LAZY = {
     # factory (reference factory.py exports)
