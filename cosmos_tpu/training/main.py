@@ -102,9 +102,23 @@ def main(argv=None) -> Dict:
         args.checkpoint_path = os.path.join(log_dir, "checkpoints")
 
     devices = jax.devices()
-    mesh = create_mesh(
-        int(args.mesh_shape) if args.mesh_shape else None
-    )
+    # --mesh-shape: "N" = 1-D data mesh over N devices (shard_map step);
+    # "dp,tp" = 2-D (data, model) mesh — GSPMD tensor-parallel training
+    # (train.make_train_step_gspmd, parallel/tp.py weight placement)
+    tp_size = 1
+    if args.mesh_shape and "," in args.mesh_shape:
+        dp_s, tp_s = args.mesh_shape.split(",")
+        tp_size = int(tp_s)
+        if tp_size > 1:
+            from cosmos_tpu.parallel.tp import create_tp_mesh
+
+            mesh = create_tp_mesh(int(dp_s), tp_size)
+        else:
+            mesh = create_mesh(int(dp_s))
+    else:
+        mesh = create_mesh(
+            int(args.mesh_shape) if args.mesh_shape else None
+        )
     local_device_count = jax.local_device_count()
     logger.info(
         f"process {process_index}/{process_count}, devices={len(devices)}, "
@@ -304,8 +318,14 @@ def main(argv=None) -> Dict:
         log_grad_norm=(args.grad_clip_norm is not None
                        or args.log_grad_norm),
     )
-    step_fn = make_train_step(model, optimizer, mesh, step_cfg,
-                              dist_model=dist_model)
+    if tp_size > 1:
+        from cosmos_tpu.training.train import make_train_step_gspmd
+
+        step_fn = make_train_step_gspmd(model, optimizer, mesh, step_cfg,
+                                        dist_model=dist_model)
+    else:
+        step_fn = make_train_step(model, optimizer, mesh, step_cfg,
+                                  dist_model=dist_model)
     if args.distill:
         # transfer the frozen teacher once (replicated); the lambda keeps
         # the train loop's (state, batch) calling convention
@@ -316,6 +336,13 @@ def main(argv=None) -> Dict:
         )
         _raw_step = step_fn
         step_fn = lambda s, b: _raw_step(s, b, dist_params)  # noqa: E731
+    def _make_state(p_, opt_, mesh_, tp_):
+        if tp_ > 1:
+            from cosmos_tpu.training.train import create_train_state_gspmd
+
+            return create_train_state_gspmd(p_, opt_, mesh_)
+        return create_train_state(p_, opt_, mesh_)
+
     if args.init_last_layer:
         from cosmos_tpu.models.init_utils import reinit_last_transformer_layer
 
@@ -328,13 +355,13 @@ def main(argv=None) -> Dict:
         teacher_p = reinit_last_transformer_layer(
             params, jax.random.PRNGKey(args.seed + 2)
         )
-        state = create_train_state(student_p, optimizer, mesh)
+        state = _make_state(student_p, optimizer, mesh, tp_size)
         # deep-copy: student/teacher must not alias any buffer (donation)
         state = state.replace(
             teacher_params=jax.tree.map(jnp.copy, teacher_p)
         )
     else:
-        state = create_train_state(params, optimizer, mesh)
+        state = _make_state(params, optimizer, mesh, tp_size)
 
     # --- resume (main.py:150-188, 406-435) -------------------------------
     start_epoch = 0
@@ -349,9 +376,37 @@ def main(argv=None) -> Dict:
         # re-commit onto the mesh: restore hands back HOST arrays, and an
         # uncommitted state re-triggers the double-compile
         # create_train_state(mesh) exists to avoid (~10 min on v5e)
-        from jax.sharding import NamedSharding, PartitionSpec as _P
+        if tp_size > 1:
+            # tensor-parallel placements: params/teacher by the TP specs;
+            # the optimizer state adopts the shardings a fresh init of
+            # the SHARDED params produces (same tree structure)
+            from cosmos_tpu.parallel.tp import shard_params_tp
 
-        state = jax.device_put(state, NamedSharding(mesh, _P()))
+            from jax.sharding import NamedSharding as _NS
+            from jax.sharding import PartitionSpec as _PS
+
+            new_p = shard_params_tp(state.params, mesh)
+            new_t = shard_params_tp(state.teacher_params, mesh)
+            opt_template = optimizer.init(new_p)
+            rep = _NS(mesh, _PS())
+
+            def _opt_sharding(t):
+                # Adam mu/nu inherit mesh shardings from the sharded
+                # params; scalar leaves (count) come out single-device
+                # uncommitted — replicate those over the mesh instead
+                s = t.sharding
+                return s if (isinstance(s, _NS) and s.mesh == mesh) else rep
+
+            new_o = jax.tree.map(
+                lambda v, t: jax.device_put(v, _opt_sharding(t)),
+                state.opt_state, opt_template,
+            )
+            state = state.replace(params=new_p, teacher_params=new_t,
+                                  opt_state=new_o)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            state = jax.device_put(state, NamedSharding(mesh, _P()))
         logger.info(f"resumed from {resume} at epoch {start_epoch}")
 
     # --- remote sync daemon (main.py:193-214) ----------------------------

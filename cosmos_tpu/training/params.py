@@ -258,7 +258,10 @@ def parse_args(args=None):
 
     # TPU / mesh
     add("--mesh-shape", type=str, default=None,
-        help="e.g. '8' or '4x2'; default all devices on one data axis")
+        help="'N' = 1-D data mesh over N devices (default: all devices); "
+             "'dp,tp' = 2-D (data, model) mesh — GSPMD tensor-parallel "
+             "training with Megatron-style weight placement (needs "
+             "--flash-attention off; see parallel/tp.py)")
     add("--coordinator-address", type=str, default=None)
     add("--num-processes", type=int, default=None)
     add("--process-id", type=int, default=None)

@@ -339,23 +339,14 @@ class TrainStepConfig:
     log_grad_norm: bool = False
 
 
-def make_train_step(
-    model,
-    optimizer: optax.GradientTransformation,
-    mesh: Mesh,
-    cfg: TrainStepConfig,
-    dist_model=None,
-):
-    """Returns jitted (state, batch) -> (state, metrics) — or, with
-    ``cfg.distill``, (state, batch, dist_params) -> (state, metrics) where
-    ``dist_params`` is the frozen distillation teacher's param pytree
-    (kept OUT of TrainState: it is never updated, checkpointed, or donated).
-
-    Batch layout (views-leading, batch axis sharded over the mesh):
-      global_images [2, B, H, W, 3]
-      local_images  [n, B, h, w, 3]   (optional)
-      texts         [k, B, L] int32
-    """
+def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
+                axis_name: Optional[str]):
+    """Shared step builder: the pure (state, batch[, dist_params]) ->
+    (state, metrics) function.  ``axis_name=DATA_AXIS`` is the shard_map
+    per-device form (losses gather features over the named axis,
+    grads/metrics pmean); ``axis_name=None`` is the GLOBAL form for the
+    GSPMD 2-D-mesh step — the loss sees the whole batch and XLA derives
+    every collective from the operand shardings."""
     if sum((cfg.cosmos, cfg.siglip, cfg.distill, cfg.coca)) > 1:
         raise ValueError(
             "cosmos / siglip / distill / coca train modes are exclusive"
@@ -370,16 +361,16 @@ def make_train_step(
         loss_obj = COSMOSLoss(
             local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad,
-            axis_name=DATA_AXIS,
+            axis_name=axis_name,
         )
     elif cfg.siglip:
         # pairwise sigmoid loss with the ppermute negatives ring
-        loss_obj = SigLipLoss(axis_name=DATA_AXIS)
+        loss_obj = SigLipLoss(axis_name=axis_name)
     elif cfg.distill:
         loss_obj = DistillClipLoss(
             local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad,
-            axis_name=DATA_AXIS,
+            axis_name=axis_name,
         )
     elif cfg.coca:
         loss_obj = CoCaLoss(
@@ -388,13 +379,13 @@ def make_train_step(
             pad_id=cfg.coca_pad_id,
             local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad,
-            axis_name=DATA_AXIS,
+            axis_name=axis_name,
         )
     else:
         loss_obj = ClipLoss(
             local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad,
-            axis_name=DATA_AXIS,
+            axis_name=axis_name,
         )
 
     mean = jnp.asarray(cfg.image_mean, jnp.float32) * 255.0
@@ -419,7 +410,8 @@ def make_train_step(
         if not patch_drop_active:
             return {}
         r = jax.random.fold_in(jax.random.PRNGKey(17), step)
-        r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+        if axis_name is not None:   # per-device streams under shard_map
+            r = jax.random.fold_in(r, jax.lax.axis_index(axis_name))
         return {"rngs": {"patch_drop": r}}
 
     def _loss_fn(params, teacher_params, batch, step, dist_params=None):
@@ -650,9 +642,14 @@ def make_train_step(
                 state.params, state.teacher_params, batch, state.step,
                 dist_params,
             )
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        total = jax.lax.pmean(total, DATA_AXIS)
-        aux = {k: jax.lax.pmean(v, DATA_AXIS) for k, v in aux.items()}
+        if axis_name is not None:
+            # shard_map per-device form: average across the data axis.
+            # (GSPMD form: the loss already saw the global batch; XLA
+            # derives every cross-device reduction from the shardings.)
+            grads = jax.lax.pmean(grads, axis_name)
+            total = jax.lax.pmean(total, axis_name)
+            aux = {k: jax.lax.pmean(v, axis_name)
+                   for k, v in aux.items()}
 
         # EMA with PRE-update student params (reference ordering).
         if cfg.fix_momentum or cfg.momentum_schedule is None:
@@ -694,6 +691,28 @@ def make_train_step(
         )
         return new_state, metrics
 
+    return _step
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    cfg: TrainStepConfig,
+    dist_model=None,
+):
+    """Returns jitted (state, batch) -> (state, metrics) — or, with
+    ``cfg.distill``, (state, batch, dist_params) -> (state, metrics) where
+    ``dist_params`` is the frozen distillation teacher's param pytree
+    (kept OUT of TrainState: it is never updated, checkpointed, or donated).
+
+    Batch layout (views-leading, batch axis sharded over the mesh):
+      global_images [2, B, H, W, 3]
+      local_images  [n, B, h, w, 3]   (optional)
+      texts         [k, B, L] int32
+    """
+    _step = _build_step(model, optimizer, cfg, dist_model, DATA_AXIS)
+
     batch_axis = 2 if cfg.accum_freq > 1 else 1
     batch_spec = (
         P(None, None, DATA_AXIS) if cfg.accum_freq > 1 else P(None, DATA_AXIS)
@@ -715,3 +734,75 @@ def make_train_step(
         check_vma=False,
     )
     return jax.jit(sharded_step, donate_argnums=(0,))
+
+
+def make_train_step_gspmd(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    cfg: TrainStepConfig,
+    dist_model=None,
+):
+    """Tensor-parallel TRAINING: the step jitted over a 2-D (data, model)
+    mesh with GSPMD.
+
+    Beyond the reference (DP is its only scaling axis, SURVEY §2.3): for
+    models too large to replicate per chip, weights are placed
+    Megatron-style (parallel/tp.py column/row-parallel specs), the batch
+    shards over 'data', and — with no shard_map and therefore no named
+    axes — the loss computes over the GLOBAL batch while XLA's SPMD
+    partitioner derives every collective from the operand shardings.
+    Gradients, Adam moments and the EMA teacher all inherit the weight
+    shardings, so the optimizer update runs tensor-parallel too.
+
+    Constraints (validated): cfg.local_loss and the SigLIP ppermute ring
+    are per-device concepts that need the 1-D shard_map step;
+    accum_freq must be 1; a real model axis needs use_flash=False (the
+    Pallas attention kernel is a custom call the partitioner cannot
+    split).  Pair with create_train_state_gspmd and
+    parallel.mesh.shard_batch over the same mesh.
+    """
+    from cosmos_tpu.parallel.tp import MODEL_AXIS
+
+    if cfg.siglip:
+        raise ValueError(
+            "siglip's ppermute ring needs the 1-D shard_map step")
+    if cfg.local_loss:
+        raise ValueError(
+            "local_loss is a per-device concept; the GSPMD step computes "
+            "global logits — leave it False")
+    if cfg.accum_freq > 1:
+        raise ValueError("accum_freq > 1 unsupported in the GSPMD step")
+    uf = getattr(model, "use_flash", None)
+    if mesh.shape.get(MODEL_AXIS, 1) > 1 and (
+        uf is True
+        or (uf is None and jax.default_backend() in ("tpu", "axon"))
+    ):
+        raise ValueError(
+            "model-axis sharding needs use_flash=False — the Pallas "
+            "attention kernel is unpartitionable (see parallel/tp.py)")
+
+    _step = _build_step(model, optimizer, cfg, dist_model, None)
+    if cfg.distill:
+        return jax.jit(_step, donate_argnums=(0,))
+    return jax.jit(lambda state, batch: _step(state, batch),
+                   donate_argnums=(0,))
+
+
+def create_train_state_gspmd(params, optimizer, mesh: Mesh) -> TrainState:
+    """TrainState for the GSPMD step: student and EMA teacher placed
+    tensor-parallel over the 2-D mesh (parallel/tp.py specs); the Adam
+    moments inherit those shardings through optax's zeros_like init."""
+    from jax.sharding import NamedSharding
+
+    from cosmos_tpu.parallel.tp import shard_params_tp
+
+    p = shard_params_tp(params, mesh)
+    teacher = shard_params_tp(jax.tree.map(jnp.copy, params), mesh)
+    return TrainState(
+        step=jax.device_put(
+            jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
+        params=p,
+        teacher_params=teacher,
+        opt_state=optimizer.init(p),
+    )

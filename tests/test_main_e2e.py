@@ -47,3 +47,27 @@ def test_train_save_resume(tmp_path):
     m2 = main(args2)
     assert os.path.isdir(os.path.join(ckpt_dir, "epoch_2"))
     assert np.isfinite(m2["train_loss"])
+
+
+def test_train_tensor_parallel_mesh(tmp_path):
+    """--mesh-shape dp,tp routes through the GSPMD tensor-parallel step:
+    trains, checkpoints, and resumes (TP-aware re-placement) on a (4,2)
+    mesh of the 8 virtual devices."""
+    logs = str(tmp_path / "logs")
+    args = BASE_ARGS + [
+        "--logs-dir", logs, "--name", "tp-e2e", "--epochs", "1",
+        "--save-frequency", "1", "--mesh-shape", "4,2",
+    ]
+    m1 = main(args)
+    assert np.isfinite(m1["train_loss"])
+    ckpt_dir = os.path.join(logs, "tp-e2e", "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_1"))
+
+    args2 = BASE_ARGS + [
+        "--logs-dir", logs, "--name", "tp-e2e", "--epochs", "2",
+        "--save-frequency", "1", "--resume", "latest",
+        "--mesh-shape", "4,2",
+    ]
+    m2 = main(args2)
+    assert np.isfinite(m2["train_loss"])
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_2"))

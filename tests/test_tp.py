@@ -99,3 +99,137 @@ def test_specs_cover_eva_trunk():
 def test_mesh_validation():
     with pytest.raises(ValueError, match="devices"):
         create_tp_mesh(4, 4)
+
+
+def _tiny_cosmos_model():
+    return create_model(
+        "ViT-B-16", cosmos=True, output_all=True, attentional_pool=True,
+        add_zero_attn=True, **TINY,
+    )
+
+
+def _cosmos_batch(b):
+    import numpy as onp
+
+    rng = onp.random.default_rng(3)
+    return {
+        "global_images": rng.normal(size=(2, b, 16, 16, 3)).astype("float32"),
+        "local_images": rng.normal(size=(2, b, 8, 8, 3)).astype("float32"),
+        "texts": rng.integers(1, 127, size=(3, b, 12)).astype("int32"),
+    }
+
+
+def test_gspmd_train_step_matches_shard_map():
+    """The 2-D GSPMD step must train identically to the 1-D shard_map
+    step (global-batch math is the same; only the partitioning differs):
+    same loss and same updated params after one step, on (2,4) and (8,1)
+    meshes."""
+    import jax.numpy as jnp
+
+    from cosmos_tpu.parallel.mesh import create_mesh, shard_batch
+    from cosmos_tpu.training.scheduler import cosine_lr
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state,
+        create_train_state_gspmd,
+        make_train_step,
+        make_train_step_gspmd,
+    )
+
+    model, params = _tiny_cosmos_model()
+    lr = cosine_lr(1e-3, 2, 10)
+    cfg = TrainStepConfig(cosmos=True, lr_schedule=lr)
+    batch = _cosmos_batch(8)
+
+    # reference: the 1-D shard_map step over all 8 devices
+    mesh1 = create_mesh(8)
+    opt = create_optimizer(lr, weight_decay=0.1)
+    step1 = make_train_step(model, opt, mesh1, cfg)
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), opt, mesh1)
+    s1, m1 = step1(s1, shard_batch(batch, mesh1, batch_axis=1))
+
+    for dp, tp in ((2, 4), (8, 1)):
+        mesh2 = create_tp_mesh(dp, tp)
+        opt2 = create_optimizer(lr, weight_decay=0.1)
+        step2 = make_train_step_gspmd(model, opt2, mesh2, cfg)
+        s2 = create_train_state_gspmd(
+            jax.tree.map(jnp.copy, params), opt2, mesh2)
+        b2 = jax.tree.map(
+            lambda x: jax.device_put(
+                x, jax.sharding.NamedSharding(
+                    mesh2, jax.sharding.PartitionSpec(None, "data"))),
+            batch)
+        s2, m2 = step2(s2, b2)
+        np.testing.assert_allclose(
+            float(m2["loss"]), float(m1["loss"]), rtol=1e-5,
+            err_msg=f"mesh ({dp},{tp})")
+        got = np.asarray(jax.device_get(
+            s2.params["visual"]["transformer"]["resblocks_0"]["mlp"]
+            ["c_fc"]["kernel"]))
+        want = np.asarray(jax.device_get(
+            s1.params["visual"]["transformer"]["resblocks_0"]["mlp"]
+            ["c_fc"]["kernel"]))
+        np.testing.assert_allclose(got, want, atol=2e-6,
+                                   err_msg=f"mesh ({dp},{tp})")
+
+
+def test_gspmd_state_is_model_sharded():
+    """Weights AND Adam moments must actually live sharded on the model
+    axis, and stay sharded after a step (the point of TP training)."""
+    import jax.numpy as jnp
+
+    from cosmos_tpu.training.scheduler import cosine_lr
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state_gspmd,
+        make_train_step_gspmd,
+    )
+
+    model, params = _tiny_cosmos_model()
+    lr = cosine_lr(1e-3, 2, 10)
+    opt = create_optimizer(lr, weight_decay=0.1)
+    mesh = create_tp_mesh(2, 4)
+    state = create_train_state_gspmd(params, opt, mesh)
+
+    def spec_of(tree):
+        return tree["visual"]["transformer"]["resblocks_0"]["mlp"][
+            "c_fc"]["kernel"].sharding.spec
+
+    assert spec_of(state.params) == (None, MODEL_AXIS)
+    assert spec_of(state.teacher_params) == (None, MODEL_AXIS)
+    # Adam mu inherits the sharding through zeros_like
+    mu = state.opt_state[0].mu if hasattr(state.opt_state[0], "mu") else None
+    if mu is not None:
+        assert spec_of(mu) == (None, MODEL_AXIS)
+
+    step = make_train_step_gspmd(
+        model, opt, mesh, TrainStepConfig(cosmos=True))
+    batch = jax.tree.map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, "data"))),
+        _cosmos_batch(8))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert spec_of(state.params) == (None, MODEL_AXIS)
+
+
+def test_gspmd_step_validations():
+    from cosmos_tpu.training.scheduler import cosine_lr
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        make_train_step_gspmd,
+    )
+
+    model, _ = _tiny_cosmos_model()
+    opt = create_optimizer(cosine_lr(1e-3, 2, 10))
+    mesh = create_tp_mesh(2, 4)
+    with pytest.raises(ValueError, match="local_loss"):
+        make_train_step_gspmd(model, opt, mesh,
+                              TrainStepConfig(cosmos=True, local_loss=True))
+    with pytest.raises(ValueError, match="ring"):
+        make_train_step_gspmd(model, opt, mesh,
+                              TrainStepConfig(cosmos=False, siglip=True))
