@@ -11,6 +11,16 @@ per lax.scan iteration, and lax.scan carries that fit in VMEM (~128MB on
 v5e) never touch HBM at all — numbers measured that way do not transfer
 (see README "Round-2 perf campaign").
 
+READ THE BUCKETS WITH CARE (round-3 post-mortem): XLA's kOutput fusions
+EMBED the neighbouring matmuls — the "optimizer+dW" fusions contain the
+89-GFLOP dW matmuls (~0.45 ms each ≈ MXU peak) and the "LN forward"
+fusions contain the attention out-projections.  A fat "elementwise" or
+"optimizer" bucket is therefore NOT evidence of slow elementwise code;
+check a representative fusion's full def (the operands include the
+weight tensors when a matmul is inside) before concluding anything.
+What remains genuinely serial is the VPU epilogue inside those fusions,
+which is not externally controllable.
+
 Usage: python tools/trace_step.py [outdir]
 """
 
