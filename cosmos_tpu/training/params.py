@@ -276,14 +276,21 @@ def parse_args(args=None):
 
     # COSMOS distillation pairs the teacher against 2 caption views;
     # raw-mode sampling yields a single caption, which would silently
-    # corrupt the distill loss (the reference asserts 2 views, loss.py:189)
-    if ns.cosmos and ns.caption_sampling_mode in ("raw", "raw_pixelprose"):
+    # corrupt the distill loss (the reference asserts 2 views, loss.py:189).
+    # TRAINING-only: eval-only runs (--eval-mode, or no train data at all —
+    # the inference scripts load released weights with the default 'raw'
+    # mode) never build the distill loss and must not be rejected.
+    will_train = not ns.eval_mode and (
+        ns.train_data is not None or ns.dataset_type == "synthetic"
+    )
+    if will_train and ns.cosmos and ns.caption_sampling_mode in (
+            "raw", "raw_pixelprose"):
         parser.error(
             "--cosmos requires >=2 caption views: use "
             "--caption-sampling-mode textcrop/random (+ --num-sampled-captions >= 2), "
             f"not {ns.caption_sampling_mode!r}"
         )
-    if ns.cosmos and ns.num_sampled_captions < 2:
+    if will_train and ns.cosmos and ns.num_sampled_captions < 2:
         parser.error("--cosmos requires --num-sampled-captions >= 2")
     # the COSMOS loss consumes cross-modal token features, which only exist
     # with the token-mapping heads and cross-attention poolers enabled
