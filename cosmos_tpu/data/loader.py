@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import multiprocessing as mp
+import os
 import queue as queue_mod
 import random
 import threading
@@ -266,6 +267,22 @@ class WdsTrainLoader:
                 "workers (process_count x num_workers): some workers would "
                 "receive no shards; reduce --workers, add shards, or use "
                 "--dataset-resampled"
+            )
+        if not self.cfg.resampled and self.cfg.weights is not None:
+            # fail in the MAIN process, not 30s later via dead workers
+            raise ValueError(
+                "--train-data-upsampling-factors is only supported with "
+                "--dataset-resampled (reference data.py:460-461)"
+            )
+        local = [u for u in self.cfg.urls if "://" not in str(u)]
+        if local and not any(os.path.exists(u) for u in local):
+            # every shard-open failure is nothrow-swallowed per sample
+            # (reference semantics) — but NO shard existing at all means a
+            # typo'd --train-data, which would otherwise hang at step 0
+            # with workers spinning through empty epochs
+            raise FileNotFoundError(
+                f"none of the {len(local)} local tar shards exist "
+                f"(first: {local[0]!r}) — check --train-data"
             )
         if self.cfg.num_workers == 0:
             self._started = True

@@ -76,7 +76,15 @@ def expand_urls(urls, weights: Optional[str] = None):
             if w is not None:
                 all_weights.extend([float(w[i])] * len(expanded))
         return all_urls, (all_weights if w is not None else None)
-    return list(urls), None
+    # pre-expanded list input: keep the caller's weights instead of
+    # silently discarding them (reference expand_urls returns both)
+    if weights is None:
+        return list(urls), None
+    w = weights.split("::") if isinstance(weights, str) else list(weights)
+    assert len(w) == len(urls), (
+        "number of weights must match number of urls"
+    )
+    return list(urls), [float(x) for x in w]
 
 
 def log_and_continue(exn) -> bool:
@@ -113,12 +121,14 @@ def tar_to_samples(path: str) -> Iterator[Dict[str, bytes]]:
                 except Exception as e:  # truncated member
                     log_and_continue(e)
                     continue
-                if key != current_key:
+                # a repeated extension within the same key starts a NEW
+                # sample (reference group_by_keys_nothrow, data.py:285-319
+                # — concatenated tars with repeated keys must yield every
+                # pair, not silently drop the later ones)
+                if key != current_key or ext in sample:
                     if sample and current_key is not None:
                         yield dict(sample, __key__=current_key.encode())
                     current_key, sample = key, {}
-                if ext in sample:  # duplicate within key: keep first
-                    continue
                 sample[ext] = data
             if sample and current_key is not None:
                 yield dict(sample, __key__=current_key.encode())
@@ -168,6 +178,15 @@ class ShardedShardList:
             for _ in range(n):
                 yield rng.choices(self.urls, weights=self.weights, k=1)[0]
             return
+        if self.weights is not None:
+            # the strided no-replacement split cannot honor per-source
+            # weights; silently uniform sampling would betray the
+            # --train-data-upsampling-factors request (the reference
+            # asserts the same, data.py:460-461)
+            raise ValueError(
+                "--train-data-upsampling-factors is only supported with "
+                "--dataset-resampled (sampling with replacement)"
+            )
         shards = list(self.urls)
         if self.shuffle:
             rng = random.Random(self.seed + epoch)  # detshuffle2 keying

@@ -48,6 +48,15 @@ def save_checkpoint(
 ) -> str:
     import orbax.checkpoint as ocp
 
+    if "://" in str(checkpoint_path):
+        # the supported remote flow matches the reference: save LOCALLY
+        # and mirror with the --remote-sync daemon (file_utils); writing
+        # here would mkdir a literal 'gs:' directory
+        raise ValueError(
+            f"--checkpoint-path {checkpoint_path!r}: save locally and use "
+            "--remote-sync s3://... (resume FROM a remote path works — "
+            "restore_checkpoint downloads it)"
+        )
     base = Path(checkpoint_path)
     base.mkdir(parents=True, exist_ok=True)
     path = _ckpt_dir(checkpoint_path, epoch)
@@ -107,11 +116,33 @@ def get_latest_checkpoint(checkpoint_path: str) -> Optional[str]:
     return str(max(epochs)[1])
 
 
+def _localize(path: str) -> str:
+    """Download a remote (s3://, gs://) snapshot dir to a local temp dir.
+
+    get_latest_checkpoint deliberately discovers remote epochs (the
+    reference's S3 resume, main.py:150-188), but Orbax restore + the
+    meta.json read need a filesystem path — and ``Path('gs://...')
+    .resolve()`` silently mangles a URI into a bogus local path, which
+    made remote resume a guaranteed FileNotFoundError before this."""
+    if "://" not in str(path):
+        return str(path)
+    import tempfile
+
+    import fsspec
+
+    fs, _, paths = fsspec.get_fs_token_paths(path)
+    local = tempfile.mkdtemp(prefix="ckpt_restore_")
+    fs.get(paths[0], local + "/", recursive=True)
+    inner = Path(local) / Path(paths[0]).name
+    return str(inner if inner.is_dir() else local)
+
+
 def restore_checkpoint(state_template, path: str):
-    """Restore a TrainState snapshot; returns (state, epoch)."""
+    """Restore a TrainState snapshot; returns (state, epoch).  Remote
+    paths are downloaded to a temp dir first (see _localize)."""
     import orbax.checkpoint as ocp
 
-    p = Path(path)
+    p = Path(_localize(path))
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(p.resolve(), jax.device_get(state_template))
     meta = {}

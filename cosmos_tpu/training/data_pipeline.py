@@ -40,6 +40,7 @@ class SyntheticTrainLoader:
         self.transform = MulticropAugmentation(
             image_size=cfg.image_size,
             local_crops_number=cfg.local_crops_number,
+            global_crops_number=cfg.global_crops_number,
             crop_scale=cfg.crop_scale,
             local_size=cfg.local_size,
             as_uint8=True,
@@ -103,6 +104,7 @@ class CsvTrainLoader:
             self.transform = MulticropAugmentation(
                 image_size=cfg.image_size,
                 local_crops_number=cfg.local_crops_number,
+                global_crops_number=cfg.global_crops_number,
                 crop_scale=cfg.crop_scale,
                 local_size=cfg.local_size,
                 as_uint8=True,
@@ -129,11 +131,14 @@ class CsvTrainLoader:
         while True:
             rng.shuffle(order)
             crops_list, tokens_list = [], []
+            yielded = 0
             for idx in order:
                 path, caption = self.rows[idx]
                 try:
                     img = Image.open(path).convert("RGB")
-                except Exception:
+                except Exception as e:
+                    logger.warning(f"csv row {idx}: unreadable image "
+                                   f"{path!r} ({e!r})")
                     continue
                 crops = self.transform(img, rng)
                 if not isinstance(crops, list):
@@ -167,7 +172,17 @@ class CsvTrainLoader:
                              for v in range(n)]
                         )
                     yield batch
+                    yielded += 1
                     crops_list, tokens_list = [], []
+            if yielded == 0:
+                # a full pass produced NOTHING: every image unreadable
+                # (wrong cwd / corrupt files) — fail instead of silently
+                # re-shuffling forever at step 0
+                raise RuntimeError(
+                    f"CSV loader: no readable images in any of "
+                    f"{len(self.rows)} rows (see warnings above; are the "
+                    "image paths relative to a different directory?)"
+                )
 
 
 
@@ -255,9 +270,8 @@ def get_data(
 
     if args.val_data:
         from cosmos_tpu.data.loader import WdsValLoader
-        from cosmos_tpu.data.webdataset import expand_urls as _expand
 
-        val_urls, _ = _expand(args.val_data)
+        val_urls, _ = expand_urls(args.val_data)
         data["val"] = WdsValLoader(
             val_urls,
             batch_size=args.batch_size,
@@ -271,9 +285,8 @@ def get_data(
         # val-style reader over TRAIN shards, capped at a fixed sample
         # count — an overfitting monitor alongside the held-out val loss
         from cosmos_tpu.data.loader import WdsValLoader
-        from cosmos_tpu.data.webdataset import expand_urls as _expand
 
-        te_urls, _ = _expand(args.train_eval_data)
+        te_urls, _ = expand_urls(args.train_eval_data)
         data["train_eval"] = WdsValLoader(
             te_urls,
             batch_size=args.batch_size,
@@ -308,6 +321,7 @@ def get_data(
 
     if args.classification_data_dir and args.zeroshot_eval_datasets:
         from cosmos_tpu.data.classification import ClassificationDataset
+        from cosmos_tpu.training.zero_shot import bank_key
 
         for name in args.zeroshot_eval_datasets.split(","):
             name = name.strip()
@@ -325,6 +339,10 @@ def get_data(
                     "falling back to class-folder layout"
                 )
                 ds = ImageFolderDataset(root, transform=eval_tf)
-            data[name] = MapDatasetLoader(ds, args.batch_size)
+            # store under the CANONICAL name: the eval loop iterates
+            # zero_shot.CLASSIFICATION_DATASETS ('aircraft', 'pets', ...)
+            # — an alias key ('fgvc_aircraft') would load the data every
+            # epoch and never be evaluated
+            data[bank_key(name)] = MapDatasetLoader(ds, args.batch_size)
 
     return data

@@ -126,7 +126,6 @@ def run_classification_eval(
     encode_image_fn: Callable,
     classifier: jax.Array,
     dataloader,
-    device_batch: Optional[int] = None,
 ) -> Tuple[float, float]:
     """logits = 100 * normalized image features @ classifier (zero_shot.py:17-42)."""
     top1 = top5 = n = 0.0
@@ -200,7 +199,10 @@ def zero_shot_classification_eval(
         encode_text_fn, tokenizer, labels, templates
     )
     top1, top5 = run_classification_eval(encode_image_fn, classifier, dataloader)
+    # key naming matches the reference exactly (zero_shot.py:117-119
+    # writes f'{name}-zeroshot-val-top1') so results.jsonl/tensorboard
+    # runs line up with reference runs
     return {
-        f"{dataset_name}-zeroshot-top1": top1,
-        f"{dataset_name}-zeroshot-top5": top5,
+        f"{dataset_name}-zeroshot-val-top1": top1,
+        f"{dataset_name}-zeroshot-val-top5": top5,
     }

@@ -223,3 +223,39 @@ def test_resize_text_pos_embed():
     assert down.shape == (5, 4)
     np.testing.assert_allclose(down[:, 0], np.linspace(0.0, 7.0, 5), rtol=1e-6)
     assert resize_text_pos_embed(pe, 8) is pe
+
+
+def test_remote_checkpoint_restore_localizes(tmp_path):
+    """restore_checkpoint must download remote snapshot dirs instead of
+    Path-resolving the URI into a bogus local path (which made remote
+    resume a guaranteed FileNotFoundError).  Uses fsspec's memory://
+    filesystem as the 'remote'."""
+    import fsspec
+
+    from cosmos_tpu.training.checkpoint import _localize
+
+    local = tmp_path / "epoch_3"
+    local.mkdir()
+    (local / "meta.json").write_text('{"epoch": 3}')
+    (local / "blob.bin").write_bytes(b"x" * 16)
+    fs = fsspec.filesystem("memory")
+    fs.put(str(local), "/ckpts/epoch_3", recursive=True)
+
+    got = _localize("memory://ckpts/epoch_3")
+    assert "://" not in got
+    import json as _json
+    import os as _os
+    assert _json.loads(open(_os.path.join(got, "meta.json")).read())["epoch"] == 3
+    # local paths pass through untouched
+    assert _localize(str(local)) == str(local)
+
+
+def test_remote_save_rejected(tmp_path):
+    """Saving straight to a URI is not the supported flow (save locally +
+    --remote-sync); it used to mkdir a literal 'gs:' directory."""
+    import pytest as _pytest
+
+    from cosmos_tpu.training.checkpoint import save_checkpoint
+
+    with _pytest.raises(ValueError, match="remote-sync"):
+        save_checkpoint({"x": np.zeros(2)}, "gs://bucket/ckpts", 1)

@@ -315,3 +315,58 @@ def test_inline_loader_set_epoch_reaches_worker(tmp_path):
     assert len(loader._procs) == 1
     loader.set_epoch(7)
     assert loader._epoch_qs[0].get(timeout=5) == 7
+
+
+def test_expand_urls_keeps_weights_for_list_input():
+    from cosmos_tpu.data.webdataset import expand_urls
+
+    urls, w = expand_urls(["a.tar", "b.tar"], "1::3")
+    assert urls == ["a.tar", "b.tar"] and w == [1.0, 3.0]
+    urls, w = expand_urls("a-{0..1}.tar::b.tar", "2::5")
+    assert w == [2.0, 2.0, 5.0]
+
+
+def test_upsampling_without_resampled_rejected(tmp_path):
+    """--train-data-upsampling-factors needs --dataset-resampled (the
+    strided no-replacement split can't honor weights; reference
+    data.py:460-461 asserts the same)."""
+    import pytest as _pytest
+
+    from cosmos_tpu.data.loader import WdsTrainConfig, WdsTrainLoader
+
+    shard = _make_shard(tmp_path / "w0.tar", 4)
+    cfg = WdsTrainConfig(urls=[shard], weights=[2.0], batch_size=2,
+                         num_workers=0, image_size=32, local_size=16,
+                         context_length=16)
+    with _pytest.raises(ValueError, match="resampled"):
+        next(iter(WdsTrainLoader(cfg)))
+
+
+def test_missing_shards_fail_fast(tmp_path):
+    import pytest as _pytest
+
+    from cosmos_tpu.data.loader import WdsTrainConfig, WdsTrainLoader
+
+    cfg = WdsTrainConfig(urls=[str(tmp_path / "nope-000.tar")],
+                         batch_size=2, num_workers=0, image_size=32,
+                         local_size=16, context_length=16)
+    with _pytest.raises(FileNotFoundError, match="train-data"):
+        next(iter(WdsTrainLoader(cfg)))
+
+
+def test_duplicate_key_tar_yields_new_sample(tmp_path):
+    """A repeated key.ext starts a NEW sample (reference
+    group_by_keys_nothrow) instead of silently dropping the later pair."""
+    import io
+    import tarfile
+
+    from cosmos_tpu.data.webdataset import tar_to_samples
+
+    path = tmp_path / "dup.tar"
+    with tarfile.open(path, "w") as tf:
+        for payload in (b"one", b"two"):
+            ti = tarfile.TarInfo("0001.txt")
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+    samples = list(tar_to_samples(str(path)))
+    assert [s["txt"] for s in samples] == [b"one", b"two"]
