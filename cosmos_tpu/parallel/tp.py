@@ -127,10 +127,28 @@ def make_tp_encoders(model, params, mesh: Mesh) -> Tuple[Any, Any, Any]:
                           method=model.encode_text)
         return out["text_features"]
 
-    enc_image = jax.jit(_enc_image,
+    jit_image = jax.jit(_enc_image,
                         in_shardings=(param_shardings, batch_in),
                         out_shardings=out_sh)
-    enc_text = jax.jit(_enc_text,
+    jit_text = jax.jit(_enc_text,
                        in_shardings=(param_shardings, batch_in),
                        out_shardings=out_sh)
-    return sharded, enc_image, enc_text
+
+    dp = mesh.shape.get(DATA_AXIS, 1)
+
+    def _padded(fn):
+        # P(data) placement needs even shards; serving callers feed
+        # arbitrary batch sizes — pad to a data-axis multiple, slice back
+        def call(p, x):
+            import jax.numpy as jnp
+
+            n = x.shape[0]
+            pad = (-n) % dp
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            out = fn(p, x)
+            return out[:n] if pad else out
+        return call
+
+    return sharded, _padded(jit_image), _padded(jit_text)

@@ -233,3 +233,17 @@ def test_gspmd_step_validations():
     with pytest.raises(ValueError, match="ring"):
         make_train_step_gspmd(model, opt, mesh,
                               TrainStepConfig(cosmos=False, siglip=True))
+
+
+def test_tp_encoders_accept_uneven_batches(model_and_data):
+    """Serving callers feed arbitrary batch sizes; the encoders pad to a
+    data-axis multiple and slice back."""
+    model, params, images, texts, ref_img, ref_txt = model_and_data
+    mesh = create_tp_mesh(2, 4)
+    sharded, enc_image, enc_text = make_tp_encoders(model, params, mesh)
+    got = np.asarray(enc_image(sharded, images[:5]))
+    assert got.shape[0] == 5
+    np.testing.assert_allclose(got, ref_img[:5], atol=2e-5, rtol=1e-4)
+    got_t = np.asarray(enc_text(sharded, texts[:7]))
+    assert got_t.shape[0] == 7
+    np.testing.assert_allclose(got_t, ref_txt[:7], atol=2e-5, rtol=1e-4)
