@@ -125,7 +125,11 @@ class MultiheadAttention(nn.Module):
             and kv is None
             and not csa
             and not self.add_zero_attn
-            and (mask is None or causal)
+            # the kernel applies only its in-kernel CAUSAL structure: an
+            # additive mask has no kernel path, and `or causal` used to
+            # silently DROP a provided mask whenever causal was also set
+            # (a TPU/CPU numerics divergence instead of an error)
+            and mask is None
         )
         if fused:
             from cosmos_tpu.ops.fused_attention import (

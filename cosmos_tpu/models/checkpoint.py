@@ -130,6 +130,12 @@ def build_name_map(vision_layers: int, text_layers: int,
         ("ln_final.weight", ("text", "ln_final", "scale"), None),
         ("ln_final.bias", ("text", "ln_final", "bias"), None),
         ("text_projection", ("text", "text_projection_kernel"), None),
+        # proj_bias=True models store an nn.Linear (reference
+        # transformer.py:850: 'text_projection.weight/.bias') mapping to a
+        # flax Dense at text/text_projection — only the form present in
+        # the target tree merges; the other is skipped by path-existence
+        ("text_projection.weight", ("text", "text_projection", "kernel"), "t"),
+        ("text_projection.bias", ("text", "text_projection", "bias"), None),
     ]
     if resnet_visual is not None:
         entries += build_resnet_vision_map(resnet_visual)
@@ -193,8 +199,6 @@ def _invert_tf(value: np.ndarray, tf: Optional[str]) -> np.ndarray:
 def resize_pos_embed(pe: np.ndarray, target_len: int) -> np.ndarray:
     """Bicubic-resize a [1+N, D] vision pos embed to [target_len, D]
     (factory.py pos-embed resize behavior on image-size mismatch)."""
-    import jax
-
     if pe.shape[0] == target_len:
         return pe
     src = int(round((pe.shape[0] - 1) ** 0.5))
@@ -209,11 +213,16 @@ def resize_text_pos_embed(pe: np.ndarray, target_len: int) -> np.ndarray:
     (reference model.py:696-724 resize_text_pos_embed; keeps the old
     embedding when lengths already match).  Truncation for a SHORTER
     target uses interpolation too — matching torch F.interpolate
-    semantics rather than a hard crop."""
+    semantics EXACTLY: mode='linear' with align_corners=False maps output
+    i to source x = (i + 0.5) * src/dst - 0.5 (an endpoint-pinned
+    linspace is the align_corners=TRUE formula and differs on every
+    interpolated row)."""
     src = pe.shape[0]
     if src == target_len:
         return pe
-    x = np.linspace(0.0, src - 1.0, target_len)
+    x = (np.arange(target_len, dtype=np.float64) + 0.5) * (
+        src / target_len) - 0.5
+    x = np.clip(x, 0.0, src - 1.0)
     i0 = np.floor(x).astype(np.int64)
     i1 = np.minimum(i0 + 1, src - 1)
     w = (x - i0)[:, None].astype(pe.dtype)
@@ -258,12 +267,25 @@ def torch_state_dict_to_params(
         resnet_visual=reference_params["visual"] if is_resnet else None,
     )
 
+    # the text projection exists in two torch forms (bare matrix vs
+    # nn.Linear when proj_bias, reference transformer.py:850); a
+    # checkpoint carries exactly one — the other form's map entries are
+    # skipped silently, not warned about
+    _ALT_FORMS = {
+        "text_projection": "text_projection.weight",
+        "text_projection.weight": "text_projection",
+        "text_projection.bias": "text_projection",
+    }
+
     out: Dict = {}
     used = set()
     for tkey, fpath, tf in name_map:
         if tkey not in sd:
             if tkey == "distill_logit_scale":
                 continue  # plain CLIP ckpt loaded into a cosmos model
+            alt = _ALT_FORMS.get(tkey)
+            if alt is not None and alt in sd:
+                continue
             msg = f"missing torch key {tkey}"
             if strict:
                 raise KeyError(msg)
@@ -357,7 +379,13 @@ def load_checkpoint(
             return serialization.from_bytes(params, f.read())
 
     ckpt = load_torch_checkpoint(path)
-    if isinstance(ckpt, dict) and which in ckpt:
+    if not isinstance(ckpt, dict) and hasattr(ckpt, "state_dict"):
+        # OpenAI-release TorchScript archives load as a ScriptModule
+        # (reference factory.py:229-231 routes these through
+        # load_openai_model); its state_dict has the standard visual.*
+        # naming the converter handles
+        sd = {k: v for k, v in ckpt.state_dict().items()}
+    elif isinstance(ckpt, dict) and which in ckpt:
         sd = ckpt[which]
     elif isinstance(ckpt, dict) and "state_dict" in ckpt:
         sd = ckpt["state_dict"]

@@ -88,6 +88,8 @@ class CLIP(nn.Module):
                 drop_path=v.timm_drop_path,
                 dtype=self.dtype,
                 use_flash=self.use_flash,
+                remat=self.remat,
+                remat_policy=self.remat_policy,
                 name="visual",
             )
             self._setup_text(act)
@@ -282,12 +284,20 @@ class CLIP(nn.Module):
             if is_norm:
                 txt_features = l2_normalize(txt_features)
 
+        # reference gate: `self.cosmos and batch_size is not None`
+        # (model.py:355-360) — a non-cosmos output_all model must return
+        # UNnormalized features with no crossmodal keys, not silently run
+        # the poolers
         run_crossmodal = (
-            batch_size is not None
+            self.cosmos
+            and batch_size is not None
             and self.output_all
-            and getattr(self.visual, "attn_cross_pool", None) is not None
         )
         if run_crossmodal:
+            assert getattr(self.visual, "attn_cross_pool", None) is not None, (
+                "cosmos forward needs the cross-attention poolers: build "
+                "with attentional_pool=True (reference asserts the same)"
+            )
             assert img_features is not None and txt_features is not None
             b = batch_size
             img_num = img_features.shape[0] // b

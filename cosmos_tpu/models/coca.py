@@ -78,6 +78,9 @@ class CoCa(nn.Module):
     cfg: CLIPCfg
     pad_id: int = 0
     dtype: Dtype = jnp.float32
+    remat: bool = False                 # --grad-checkpointing
+    remat_policy: str = ""
+    use_flash: Optional[bool] = None    # tri-state like CLIP's
 
     def setup(self):
         c = self.cfg
@@ -95,6 +98,9 @@ class CoCa(nn.Module):
             pool_type=v.pool_type,
             act_fn=act,
             dtype=self.dtype,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
+            use_flash=self.use_flash,
             name="visual",
         )
         self.visual_attn_pool = AttentionalPooler(
@@ -116,6 +122,9 @@ class CoCa(nn.Module):
             pad_id=self.pad_id,
             act_fn=act,
             dtype=self.dtype,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
+            use_flash=self.use_flash,
             name="text",
         )
         self.text_decoder = MultimodalTransformer(

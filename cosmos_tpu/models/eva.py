@@ -188,6 +188,8 @@ class Eva(nn.Module):
     image_size: Optional[int] = None     # override for other resolutions
     pool: str = "token"
     dtype: Dtype = jnp.float32
+    remat: bool = False                  # --grad-checkpointing
+    remat_policy: str = ""               # named jax.checkpoint policy
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -230,8 +232,15 @@ class Eva(nn.Module):
         hd = w // g["heads"]
         cos, sin = rope_2d_tables(grid, native_grid, hd)
         rope = (jnp.asarray(cos), jnp.asarray(sin))
+        block_cls = EvaBlock
+        if self.remat:
+            policy = (
+                getattr(jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy else None
+            )
+            block_cls = nn.remat(EvaBlock, prevent_cse=False, policy=policy)
         for i in range(g["layers"]):
-            x = EvaBlock(
+            x = block_cls(
                 num_heads=g["heads"],
                 scale_mlp=g.get("scale_mlp", True),
                 scale_attn=g.get("scale_attn", False),

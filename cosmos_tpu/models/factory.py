@@ -71,15 +71,33 @@ def create_model(
         overrides["vision_patch_dropout"] = force_patch_dropout
     if force_image_size is not None:
         overrides["vision_image_size"] = force_image_size
+    if pretrained and str(pretrained).lower() == "openai":
+        # OpenAI-release towers use QuickGELU (the reference routes the
+        # 'openai' tag through load_openai_model, which builds quick_gelu
+        # models, factory.py:229-231) — loading them into erf-GELU towers
+        # would silently corrupt every MLP activation
+        force_quick_gelu = True
     cfg = build_clip_cfg(model_name, overrides)
     if force_quick_gelu:
         cfg = dataclasses.replace(cfg, quick_gelu=True)
 
     if cfg.multimodal_cfg is not None:
-        # CoCa dispatch (reference factory.py:291-292)
+        # CoCa dispatch (reference factory.py:291-292); threads the same
+        # remat/flash flags the CLIP branch does — they were silently
+        # dropped before (grad_checkpointing off at the batch size chosen
+        # assuming it was on, use_flash A/Bs ignored)
         from .coca import CoCa
 
-        model = CoCa(cfg=cfg, dtype=resolve_dtype(precision))
+        if cosmos:
+            raise ValueError("--cosmos is a CLIP-model flag; CoCa configs "
+                             "train through the CoCa loss path")
+        model = CoCa(
+            cfg=cfg,
+            dtype=resolve_dtype(precision),
+            remat=grad_checkpointing,
+            remat_policy=remat_policy,
+            use_flash=use_flash,
+        )
     else:
         model = CLIP(
             cfg=cfg,
@@ -148,14 +166,13 @@ def create_model_and_transforms(
     crop_scale: float = 0.4,
     **kwargs: Any,
 ):
-    from cosmos_tpu.data.transforms import (
-        image_transform_train,
-        image_transform_eval,
-        MulticropAugmentation,
-    )
     from cosmos_tpu.data.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
-
-    from cosmos_tpu.data.transforms import aug_cfg_to_dict
+    from cosmos_tpu.data.transforms import (
+        MulticropAugmentation,
+        aug_cfg_to_dict,
+        image_transform_eval,
+        image_transform_train,
+    )
 
     aug_cfg = aug_cfg_to_dict(aug_cfg)
     model, params = create_model(model_name, pretrained, precision, **kwargs)

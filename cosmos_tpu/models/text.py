@@ -33,6 +33,27 @@ def causal_mask(n: int, dtype=jnp.float32) -> jax.Array:
     return jnp.triu(jnp.full((n, n), NEG_INF, dtype=dtype), k=1)
 
 
+
+def coca_cls_pad_mask(text: jax.Array, pad_id: int) -> jax.Array:
+    """Additive [B, L+1, L+1] mask for the appended-CLS CoCa text tower.
+
+    Reference build_cls_mask (transformer.py:896-903), reproduced EXACTLY
+    including its quirk: ``F.pad(text != pad, (1, 0, L, 0), value=True)``
+    leaves the L token-query rows all-True (only the causal mask gates
+    them) and masks only the CLS query row, whose key j is gated by
+    ``text[j-1]`` (key 0 always allowed — the validity column is shifted
+    by one).  An unshifted every-row pad mask produces different hidden
+    states for any caption containing pad tokens.
+    """
+    b, l = text.shape
+    key_valid = jnp.concatenate(
+        [jnp.ones((b, 1), dtype=bool), text != pad_id], axis=1
+    )                                               # [B, L+1]
+    cls_row = jnp.where(key_valid, 0.0, NEG_INF)    # [B, L+1]
+    return jnp.concatenate(
+        [jnp.zeros((b, l, l + 1), cls_row.dtype),
+         cls_row[:, None, :]], axis=1)              # [B, L+1, L+1]
+
 class TextTransformer(nn.Module):
     context_length: int = 77
     vocab_size: int = 49408
@@ -140,10 +161,7 @@ class TextTransformer(nn.Module):
                 self.cls_emb.astype(x.dtype)[None, None, :], (x.shape[0], 1, self.width)
             )
             x = jnp.concatenate([x, cls], axis=1)
-            valid = jnp.concatenate(
-                [text != self.pad_id, jnp.ones((x.shape[0], 1), dtype=bool)], axis=1
-            )
-            pad_mask = jnp.where(valid[:, None, :], 0.0, NEG_INF)
+            pad_mask = coca_cls_pad_mask(text, self.pad_id)
             mask = (causal_mask(seq_len) if mask is not None else 0.0) + pad_mask
             mask = mask[:, None, :, :]  # [B, 1, L, L] broadcast over heads
 

@@ -77,6 +77,8 @@ class TimmModel(nn.Module):
     drop_path: float = 0.0      # stochastic depth (ConvNeXt trunks only)
     dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
+    remat: bool = False                 # --grad-checkpointing
+    remat_policy: str = ""
 
     def setup(self):
         from .convnext import CONVNEXT_CONFIGS
@@ -101,6 +103,12 @@ class TimmModel(nn.Module):
                 "timm_drop (head dropout) is not wired into the flax head; "
                 "pass timm_drop=0 (dropout-free heads match the released "
                 "CLIP configs, which train with drop=0)"
+            )
+        if self.remat and self.model_name in CONVNEXT_CONFIGS:
+            raise NotImplementedError(
+                "--grad-checkpointing is not wired for ConvNeXt trunks — "
+                "failing loudly instead of silently training un-rematted "
+                "at a batch size chosen assuming it was on"
             )
         if self.model_name in CONVNEXT_CONFIGS:
             if self.pool == "token":
@@ -130,6 +138,8 @@ class TimmModel(nn.Module):
                 image_size=self.image_size,
                 pool="avg" if self.pool == "avg" else "token",
                 dtype=self.dtype,
+                remat=self.remat,
+                remat_policy=self.remat_policy,
                 name="trunk",
             )
             self._build_head()
@@ -161,6 +171,8 @@ class TimmModel(nn.Module):
             act_fn=gelu,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
             name="trunk",
         )
         self._build_head()

@@ -212,16 +212,21 @@ def test_custom_text_clip_prefix_normalized():
 
 def test_resize_text_pos_embed():
     """Context-length mismatch path (reference model.py:696-724): linear
-    interpolation, exact endpoints, identity when lengths match."""
+    interpolation with F.interpolate's align_corners=False sampling
+    (output i samples source (i+0.5)*src/dst-0.5, edge-clamped — NOT the
+    endpoint-pinned linspace this test used to pin), identity when
+    lengths match."""
     from cosmos_tpu.models.checkpoint import resize_text_pos_embed
 
     pe = np.arange(8, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
     out = resize_text_pos_embed(pe, 15)
     assert out.shape == (15, 4)
-    np.testing.assert_allclose(out[:, 0], np.linspace(0.0, 7.0, 15), rtol=1e-6)
+    want = np.clip((np.arange(15) + 0.5) * (8 / 15) - 0.5, 0.0, 7.0)
+    np.testing.assert_allclose(out[:, 0], want, rtol=1e-6)
     down = resize_text_pos_embed(pe, 5)
     assert down.shape == (5, 4)
-    np.testing.assert_allclose(down[:, 0], np.linspace(0.0, 7.0, 5), rtol=1e-6)
+    want = np.clip((np.arange(5) + 0.5) * (8 / 5) - 0.5, 0.0, 7.0)
+    np.testing.assert_allclose(down[:, 0], want, rtol=1e-6)
     assert resize_text_pos_embed(pe, 8) is pe
 
 
@@ -259,3 +264,59 @@ def test_remote_save_rejected(tmp_path):
 
     with _pytest.raises(ValueError, match="remote-sync"):
         save_checkpoint({"x": np.zeros(2)}, "gs://bucket/ckpts", 1)
+
+
+def test_resize_text_pos_embed_matches_torch_interpolate():
+    """align_corners=False semantics, exactly as the reference's
+    F.interpolate call (model.py:717-722) — the endpoint-pinned linspace
+    form differs on every interpolated row."""
+    import torch
+    import torch.nn.functional as F
+
+    from cosmos_tpu.models.checkpoint import resize_text_pos_embed
+
+    rng = np.random.default_rng(0)
+    for src, dst in ((77, 64), (77, 100), (16, 7)):
+        pe = rng.normal(size=(src, 8)).astype(np.float32)
+        ref = F.interpolate(torch.from_numpy(pe).T[None], size=dst,
+                            mode="linear", align_corners=False)[0].T.numpy()
+        got = resize_text_pos_embed(pe, dst)
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_coca_cls_pad_mask_matches_reference_build_cls_mask():
+    """Reference transformer.py:896-903 quirk included: only the CLS
+    query row is pad-masked, with key validity shifted by one."""
+    import torch
+    import torch.nn.functional as F
+
+    from cosmos_tpu.models.text import NEG_INF, coca_cls_pad_mask
+
+    text = np.array([[5, 9, 0, 0], [3, 0, 7, 0]], np.int32)
+    t = torch.from_numpy(text)
+    cls_mask = (t != 0).unsqueeze(1)
+    ref_bool = F.pad(cls_mask, (1, 0, cls_mask.shape[2], 0), value=True)
+    ref = np.where(ref_bool.numpy(), 0.0, NEG_INF)
+    got = np.asarray(coca_cls_pad_mask(text, 0))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_linear_text_projection_loads():
+    """proj_bias=True models store text_projection as nn.Linear
+    (reference transformer.py:850) — the converter must load both forms."""
+    from cosmos_tpu.models.checkpoint import torch_state_dict_to_params
+    from cosmos_tpu.models.factory import create_model
+
+    model, params = create_model("ViT-B-16", text_proj_bias=True, **TINY)
+    assert "text_projection" in params["text"]      # Dense form
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=params["text"]["text_projection"]["kernel"].shape[::-1]
+                   ).astype(np.float32)
+    b = rng.normal(size=params["text"]["text_projection"]["bias"].shape
+                   ).astype(np.float32)
+    sd = {"text_projection.weight": w, "text_projection.bias": b}
+    out = torch_state_dict_to_params(sd, params, strict=False)
+    np.testing.assert_allclose(
+        np.asarray(out["text"]["text_projection"]["kernel"]), w.T, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(out["text"]["text_projection"]["bias"]), b, atol=0)
