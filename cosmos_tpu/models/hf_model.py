@@ -107,7 +107,21 @@ class HFTextTower(nn.Module):
         if "token_type_ids" in accepted:
             kwargs["token_type_ids"] = jnp.zeros_like(text)
         if "position_ids" in accepted:
-            kwargs["position_ids"] = jnp.broadcast_to(jnp.arange(n), (b, n))
+            if getattr(self.hf_config, "model_type", "") in (
+                    "roberta", "xlm-roberta", "camembert"):
+                # roberta-family positions are PAD-OFFSET: real tokens
+                # count up from padding_idx+1 and pads sit AT padding_idx
+                # (transformers create_position_ids_from_input_ids — the
+                # wrapper this tower bypasses fills them the same way);
+                # a plain arange would read position rows shifted by 2,
+                # including the reserved padding row
+                pad = self.hf_config.pad_token_id
+                kwargs["position_ids"] = (
+                    jnp.cumsum(attention_mask, axis=1) * attention_mask + pad
+                )
+            else:
+                kwargs["position_ids"] = jnp.broadcast_to(
+                    jnp.arange(n), (b, n))
         if "head_mask" in accepted:
             kwargs["head_mask"] = None
         if "deterministic" in accepted:
@@ -116,8 +130,18 @@ class HFTextTower(nn.Module):
         hidden = getattr(out, "last_hidden_state", None)
         if hidden is None:
             hidden = out[0]
-        pooled = _POOLERS[self.pooler_type](hidden, attention_mask)
-        return self.proj(pooled), hidden
+        if self.pooler_type in ("cls_pooler",):
+            # reference ClsPooler (hf_model.py:40-52): prefer the trained
+            # pooler head (tanh(dense(cls))) when the arch provides one,
+            # and strip the CLS position from the token sequence
+            pooler_out = getattr(out, "pooler_output", None)
+            pooled = (pooler_out if pooler_out is not None
+                      else hidden[:, 0])
+            tokens = hidden[:, 1:]
+        else:
+            pooled = _POOLERS[self.pooler_type](hidden, attention_mask)
+            tokens = hidden
+        return self.proj(pooled), tokens
 
 
 def resolve_hf_config(text_cfg) -> Any:
@@ -137,10 +161,31 @@ def resolve_hf_config(text_cfg) -> Any:
 
 
 def resolve_hf_module_cls(config) -> Any:
-    """PretrainedConfig -> the arch's Flax *module* class."""
+    """PretrainedConfig -> the arch's Flax *module* class.
+
+    Encoder-decoder archs use their ENCODER (the reference takes
+    .encoder when config.is_encoder_decoder, hf_model.py:124-126):
+    t5/mt5 have a dedicated Flax encoder model; archs with no Flax
+    implementation raise a clear error instead of a KeyError."""
     from transformers import FlaxAutoModel
 
-    model_cls = FlaxAutoModel._model_mapping[type(config)]
+    if getattr(config, "is_encoder_decoder", False):
+        if config.model_type in ("t5", "mt5"):
+            from transformers import FlaxT5EncoderModel
+
+            return FlaxT5EncoderModel.module_class
+        raise NotImplementedError(
+            f"encoder-decoder arch {config.model_type!r} has no Flax "
+            "encoder path here (transformers ships no Flax weights for "
+            "it); use a bert/roberta-family text tower"
+        )
+    try:
+        model_cls = FlaxAutoModel._model_mapping[type(config)]
+    except KeyError:
+        raise NotImplementedError(
+            f"no Flax implementation for HF arch {config.model_type!r} "
+            "in this transformers build"
+        ) from None
     return model_cls.module_class
 
 

@@ -11,6 +11,7 @@ Downloads require network; in offline environments pass a local path.
 
 from __future__ import annotations
 
+import re
 import hashlib
 import logging
 import os
@@ -128,18 +129,43 @@ def default_cache_dir() -> str:
     )
 
 
+def _url_sha256(url: str) -> Optional[str]:
+    """OpenAI release URLs embed the checkpoint sha256 as a path segment
+    (reference pretrained.py:571-576 derives and verifies it)."""
+    m = re.search(r"/([0-9a-f]{40,64})/", url)
+    return m.group(1) if m else None
+
+
 def download_pretrained_from_url(url: str, cache_dir: Optional[str] = None,
                                  expected_sha256: Optional[str] = None) -> str:
     cache_dir = cache_dir or default_cache_dir()
     os.makedirs(cache_dir, exist_ok=True)
     target = Path(cache_dir) / Path(url.split("?")[0]).name
-    if not target.exists():
+    if expected_sha256 is None:
+        expected_sha256 = _url_sha256(url)
+
+    def _ok() -> bool:
+        if not target.exists():
+            return False
+        if expected_sha256:
+            digest = hashlib.sha256(target.read_bytes()).hexdigest()
+            if not digest.startswith(expected_sha256):
+                logger.warning(
+                    f"{target}: cached file fails its sha256 — re-downloading"
+                )
+                return False
+        return True
+
+    if not _ok():
+        # download to a temp name + atomic rename: an interrupted
+        # urlretrieve used to leave a truncated file that the bare
+        # exists() check then served forever
         logger.info(f"downloading {url} -> {target}")
-        urllib.request.urlretrieve(url, target)
-    if expected_sha256:
-        digest = hashlib.sha256(target.read_bytes()).hexdigest()
-        if not digest.startswith(expected_sha256):
-            raise RuntimeError(f"sha256 mismatch for {target}")
+        tmp = target.with_suffix(target.suffix + ".tmp")
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, target)
+        if not _ok():
+            raise RuntimeError(f"sha256 mismatch for {target} after download")
     return str(target)
 
 

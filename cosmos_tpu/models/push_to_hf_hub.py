@@ -25,13 +25,31 @@ HF_FLAX_WEIGHTS_NAME = "open_clip_model.msgpack"
 HF_CONFIG_NAME = "open_clip_config.json"
 
 
+# config fields that exist only in this package (TPU-native SigLIP/HF
+# plumbing); the reference's CLIPVisionCfg/CLIPTextCfg constructors
+# (model.py:28-96) reject unknown kwargs, so exporting them would make
+# the published open_clip_config.json unloadable by open_clip itself —
+# the audience this file exists for.  (This repo's own loader filters
+# unknown keys, which is why a naive round-trip test can't catch it.)
+_REPO_ONLY_VISION = ("class_token", "patch_bias", "no_proj")
+_REPO_ONLY_TEXT = ("hf_model_config",)
+
+
 def save_config_for_hf(model, config_path: str,
                        preprocess_cfg: Optional[Dict] = None) -> None:
+    vision_cfg = {
+        k: v for k, v in dataclasses.asdict(model.cfg.vision_cfg).items()
+        if k not in _REPO_ONLY_VISION
+    }
+    text_cfg = {
+        k: v for k, v in dataclasses.asdict(model.cfg.text_cfg).items()
+        if k not in _REPO_ONLY_TEXT and v is not None
+    }
     cfg = {
         "model_cfg": {
             "embed_dim": model.cfg.embed_dim,
-            "vision_cfg": dataclasses.asdict(model.cfg.vision_cfg),
-            "text_cfg": dataclasses.asdict(model.cfg.text_cfg),
+            "vision_cfg": vision_cfg,
+            "text_cfg": text_cfg,
             "quick_gelu": model.cfg.quick_gelu,
         },
         "preprocess_cfg": preprocess_cfg
@@ -58,7 +76,13 @@ def save_for_hf(model, params: Dict, save_directory: str,
     }
     torch.save(sd, os.path.join(save_directory, HF_WEIGHTS_NAME))
     save_params_msgpack(params, os.path.join(save_directory, HF_FLAX_WEIGHTS_NAME))
-    save_config_for_hf(model, os.path.join(save_directory, HF_CONFIG_NAME))
+    # publish the model's ACTUAL preprocess settings (mean/std overrides,
+    # resize mode) — hardcoding the OpenAI constants would make every hub
+    # consumer normalize with the wrong statistics for non-OpenAI recipes
+    from cosmos_tpu.models.factory import get_model_preprocess_cfg
+
+    save_config_for_hf(model, os.path.join(save_directory, HF_CONFIG_NAME),
+                       preprocess_cfg=get_model_preprocess_cfg(model))
     logger.info(f"saved HF export to {save_directory}")
 
 

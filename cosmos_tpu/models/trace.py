@@ -18,15 +18,19 @@ import jax.numpy as jnp
 
 
 def _encoder_fns(model):
+    def _feat(out, key):
+        # CLIP encoders return a dict; CoCa's return the bare array
+        return out[key] if isinstance(out, dict) else out
+
     def encode_image(params, images):
-        return model.apply(
+        return _feat(model.apply(
             {"params": params}, images, True, method=model.encode_image
-        )["image_features"]
+        ), "image_features")
 
     def encode_text(params, tokens):
-        return model.apply(
+        return _feat(model.apply(
             {"params": params}, tokens, True, method=model.encode_text
-        )["text_features"]
+        ), "text_features")
 
     return encode_image, encode_text
 

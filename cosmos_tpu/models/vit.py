@@ -44,10 +44,44 @@ def sincos_2d_pos_embed(dim: int, grid: int, cls_token: bool = True) -> np.ndarr
     gh = np.arange(grid, dtype=np.float64)
     gw = np.arange(grid, dtype=np.float64)
     gw, gh = np.meshgrid(gw, gh)
-    emb = np.concatenate([_1d(dim // 2, gh), _1d(dim // 2, gw)], axis=1)
+    # reference order (pos_embed.py:28-44): meshgrid puts w FIRST and the
+    # first half of the dims encodes grid[0] (the w mesh) — the h/w halves
+    # were swapped here before, breaking bit-parity of the initial table
+    emb = np.concatenate([_1d(dim // 2, gw), _1d(dim // 2, gh)], axis=1)
     if cls_token:
         emb = np.concatenate([np.zeros((1, dim)), emb], axis=0)
     return emb.astype(np.float32)
+
+
+def _torch_bicubic_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] interpolation matrix reproducing torch F.interpolate
+    (mode='bicubic', align_corners=False, no antialias): cubic
+    convolution with a = -0.75 and border-replicated taps.
+
+    jax.image.resize's bicubic uses the Keys kernel with a = -0.5, so
+    every interpolated value differs from the reference's
+    interpolate_pos_encoding — a static weight matrix makes the resize
+    torch-exact AND turns it into one MXU matmul per axis."""
+    if src == dst:
+        return np.eye(src)
+    a = -0.75
+
+    def w(t: float) -> float:
+        t = abs(t)
+        if t <= 1.0:
+            return (a + 2.0) * t ** 3 - (a + 3.0) * t ** 2 + 1.0
+        if t < 2.0:
+            return a * t ** 3 - 5.0 * a * t ** 2 + 8.0 * a * t - 4.0 * a
+        return 0.0
+
+    m = np.zeros((dst, src))
+    for i in range(dst):
+        x = (i + 0.5) * (src / dst) - 0.5
+        f = np.floor(x)
+        for k in range(-1, 3):
+            j = int(np.clip(f + k, 0, src - 1))
+            m[i, j] += w(x - (f + k))
+    return m
 
 
 def interpolate_pos_embed(
@@ -56,15 +90,18 @@ def interpolate_pos_embed(
     dst_grid: Tuple[int, int],
     num_prefix: int = 1,
 ) -> jax.Array:
-    """Bicubic-resize the patch part of a [prefix+N, D] pos embed."""
+    """Bicubic-resize the patch part of a [prefix+N, D] pos embed
+    (torch-F.interpolate-exact; see _torch_bicubic_matrix)."""
     if src_grid == dst_grid:
         return pos_embed
     cls_pe, patch_pe = pos_embed[:num_prefix], pos_embed[num_prefix:]
     d = pos_embed.shape[-1]
     grid = patch_pe.reshape(src_grid[0], src_grid[1], d).astype(jnp.float32)
-    resized = jax.image.resize(
-        grid, (dst_grid[0], dst_grid[1], d), method="bicubic", antialias=False
-    )
+    mh = jnp.asarray(_torch_bicubic_matrix(src_grid[0], dst_grid[0]),
+                     jnp.float32)
+    mw = jnp.asarray(_torch_bicubic_matrix(src_grid[1], dst_grid[1]),
+                     jnp.float32)
+    resized = jnp.einsum("ah,hwd,bw->abd", mh, grid, mw)
     return jnp.concatenate(
         [cls_pe, resized.reshape(-1, d).astype(pos_embed.dtype)], axis=0
     )
@@ -179,12 +216,11 @@ class VisionTransformer(nn.Module):
             fixed = sincos_2d_pos_embed(
                 w, self.grid_size[0], cls_token=self.class_token
             )
-            self.positional_embedding = self.param(
-                "positional_embedding",
-                lambda key, shape, dtype: jnp.asarray(fixed, dtype),
-                (n_pos, w),
-                jnp.float32,
-            )
+            # FROZEN like the reference (transformer.py:514-522 registers
+            # the table with requires_grad=False): a constant, not a
+            # param — as a param it would receive AdamW updates AND
+            # decoupled weight decay, drifting from the reference run
+            self.positional_embedding = jnp.asarray(fixed, jnp.float32)
         else:
             raise ValueError(self.pos_embed_type)
 

@@ -163,3 +163,66 @@ def test_patch_dropout_wiring():
     # training rng: dropout active -> different features
     dropped = enc(rngs={"patch_drop": jax.random.PRNGKey(3)})
     assert not np.allclose(np.asarray(dropped), np.asarray(enc()))
+
+
+def test_interpolate_pos_embed_matches_torch_bicubic():
+    """Pos-embed interpolation must be torch-F.interpolate-exact
+    (bicubic a=-0.75, align_corners=False) — jax.image.resize's Keys
+    kernel (a=-0.5) differs on every interpolated row."""
+    import torch
+    import torch.nn.functional as F
+
+    from cosmos_tpu.models.vit import interpolate_pos_embed
+
+    rng = np.random.default_rng(0)
+    for (s, d) in ((14, 6), (14, 24), (7, 14)):
+        pe = rng.normal(size=(1 + s * s, 16)).astype(np.float32)
+        got = np.asarray(interpolate_pos_embed(pe, (s, s), (d, d)))
+        grid = torch.from_numpy(pe[1:].reshape(s, s, 16)).permute(2, 0, 1)[None]
+        ref = F.interpolate(grid, size=(d, d), mode="bicubic",
+                            align_corners=False)[0].permute(1, 2, 0)
+        np.testing.assert_allclose(got[1:], ref.reshape(-1, 16).numpy(),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(got[0], pe[0])    # CLS untouched
+
+
+def test_sincos_pos_embed_matches_reference_order():
+    """Bit-parity with the reference's get_2d_sincos_pos_embed
+    (pos_embed.py:20-67): first half of the dims encodes grid[0] (the
+    w mesh — MAE's famous naming quirk), [sin|cos] within each half."""
+    from cosmos_tpu.models.vit import sincos_2d_pos_embed
+
+    def reference(embed_dim, grid_size, cls_token):
+        def _1d(d, pos):
+            omega = np.arange(d // 2, dtype=float) / (d / 2.0)
+            omega = 1.0 / 10000 ** omega
+            out = np.einsum("m,d->md", pos.reshape(-1), omega)
+            return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+        gh = np.arange(grid_size, dtype=np.float32)
+        gw = np.arange(grid_size, dtype=np.float32)
+        grid = np.stack(np.meshgrid(gw, gh), axis=0)  # w first
+        emb = np.concatenate(
+            [_1d(embed_dim // 2, grid[0]), _1d(embed_dim // 2, grid[1])],
+            axis=1)
+        if cls_token:
+            emb = np.concatenate([np.zeros((1, embed_dim)), emb], axis=0)
+        return emb.astype(np.float32)
+
+    for grid, cls in ((4, True), (7, False)):
+        np.testing.assert_allclose(
+            sincos_2d_pos_embed(32, grid, cls_token=cls),
+            reference(32, grid, cls), atol=1e-7)
+
+
+def test_sincos_pos_embed_is_frozen():
+    """sin_cos_2d tables are constants (reference requires_grad=False) —
+    NOT params that AdamW would update and weight-decay."""
+    from cosmos_tpu.models.vit import VisionTransformer
+
+    vt = VisionTransformer(image_size=16, patch_size=8, width=32, layers=1,
+                           num_heads=2, output_dim=16,
+                           pos_embed_type="sin_cos_2d")
+    params = vt.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 16, 16, 3)))["params"]
+    assert "positional_embedding" not in params
