@@ -51,35 +51,46 @@ class SyntheticTrainLoader:
         self._epoch = epoch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = random.Random(self.cfg.seed + self._epoch)
-        idx = 0
         while True:
-            crops_list, tokens_list = [], []
-            for _ in range(self.cfg.batch_size):
-                img, meta = self.dataset[idx % len(self.dataset)]
-                idx += 1
-                crops_list.append(self.transform(img, rng))
-                caps = sample_captions(
-                    meta, self.cfg.num_sampled_captions,
-                    self.cfg.caption_sampling_mode, rng,
-                )
-                tokens_list.append(self.tokenizer(caps))
-            g = self.cfg.global_crops_number
-            n = self.cfg.local_crops_number
-            batch = {
-                "global_images": np.stack(
-                    [np.stack([c[v] for c in crops_list]) for v in range(g)]
-                ),
-                "texts": np.stack(
-                    [np.stack([t[v] for t in tokens_list])
-                     for v in range(tokens_list[0].shape[0])]
-                ),
-            }
-            if n:
-                batch["local_images"] = np.stack(
-                    [np.stack([c[g + v] for c in crops_list]) for v in range(n)]
-                )
-            yield batch
+            # re-read per epoch: main.py calls set_epoch on a LONG-LIVED
+            # iterator (one iter() for the whole run), so the stream must
+            # re-key itself when the epoch advances — that is what makes
+            # resume-at-epoch-k reproduce epoch k's batches.  Hosts
+            # diverge via process_index (seed and sample stride).
+            epoch = self._epoch
+            rng = random.Random(
+                (self.cfg.seed + epoch) * self.cfg.process_count
+                + self.cfg.process_index
+            )
+            idx = self.cfg.process_index
+            while self._epoch == epoch:
+                crops_list, tokens_list = [], []
+                for _ in range(self.cfg.batch_size):
+                    img, meta = self.dataset[idx % len(self.dataset)]
+                    idx += self.cfg.process_count
+                    crops_list.append(self.transform(img, rng))
+                    caps = sample_captions(
+                        meta, self.cfg.num_sampled_captions,
+                        self.cfg.caption_sampling_mode, rng,
+                    )
+                    tokens_list.append(self.tokenizer(caps))
+                g = self.cfg.global_crops_number
+                n = self.cfg.local_crops_number
+                batch = {
+                    "global_images": np.stack(
+                        [np.stack([c[v] for c in crops_list]) for v in range(g)]
+                    ),
+                    "texts": np.stack(
+                        [np.stack([t[v] for t in tokens_list])
+                         for v in range(tokens_list[0].shape[0])]
+                    ),
+                }
+                if n:
+                    batch["local_images"] = np.stack(
+                        [np.stack([c[g + v] for c in crops_list])
+                         for v in range(n)]
+                    )
+                yield batch
 
 
 class CsvTrainLoader:
@@ -126,13 +137,30 @@ class CsvTrainLoader:
     def __iter__(self):
         from PIL import Image
 
-        rng = random.Random(self.cfg.seed + self._epoch)
-        order = list(range(len(self.rows)))
+        pass_no, prev_epoch = 0, None
         while True:
+            # rng keyed on (CURRENT epoch, pass): set_epoch arrives on a
+            # long-lived iterator (see SyntheticTrainLoader), the mid-pass
+            # break below aligns pass boundaries to epoch boundaries, so a
+            # resume at epoch k reproduces epoch k's stream exactly while
+            # successive passes within one epoch still reshuffle.  Every
+            # host runs the SAME global shuffle then takes a disjoint
+            # strided slice — the reference partitions with a seed-synced
+            # DistributedSampler (dataloaders/utils.py:41-73), without
+            # which multi-host CSV training feeds identical
+            # (duplicate-negative) batches.
+            epoch = self._epoch
+            pass_no = pass_no + 1 if epoch == prev_epoch else 0
+            prev_epoch = epoch
+            rng = random.Random((self.cfg.seed + epoch) * 100003 + pass_no)
+            order = list(range(len(self.rows)))
             rng.shuffle(order)
+            order = order[self.cfg.process_index::self.cfg.process_count]
             crops_list, tokens_list = [], []
             yielded = 0
             for idx in order:
+                if self._epoch != epoch:
+                    break  # epoch advanced mid-pass: re-key immediately
                 path, caption = self.rows[idx]
                 try:
                     img = Image.open(path).convert("RGB")
@@ -174,7 +202,7 @@ class CsvTrainLoader:
                     yield batch
                     yielded += 1
                     crops_list, tokens_list = [], []
-            if yielded == 0:
+            if yielded == 0 and self._epoch == epoch:
                 # a full pass produced NOTHING: every image unreadable
                 # (wrong cwd / corrupt files) — fail instead of silently
                 # re-shuffling forever at step 0
@@ -240,6 +268,12 @@ def get_data(
     args.context_length = context_length
     dtype = _detect_dataset_type(args)
     global_batch = args.batch_size * local_device_count * process_count
+    # one optimizer step consumes accum_freq micro-batches, so an epoch's
+    # step count divides by it (reference train.py:106:
+    # num_batches_per_epoch = dataloader.num_batches // args.accum_freq) —
+    # otherwise each "epoch" would traverse the dataset accum_freq times
+    # and the LR schedule's total_steps would overshoot the sample budget
+    samples_per_step = global_batch * max(1, getattr(args, "accum_freq", 1))
 
     if dtype in ("webdataset", "synthetic"):
         cfg = make_train_config(args, process_index, process_count,
@@ -255,7 +289,7 @@ def get_data(
                     "--train-num-samples is required for webdataset training"
                 )
             num_samples = args.train_num_samples
-        num_batches = args.steps_per_epoch or max(1, num_samples // global_batch)
+        num_batches = args.steps_per_epoch or max(1, num_samples // samples_per_step)
         data["train"] = DataInfo(loader, num_samples, num_batches)
     elif dtype == "csv":
         cfg = make_train_config(args, process_index, process_count,
@@ -265,7 +299,7 @@ def get_data(
             args.csv_separator,
         )
         num_samples = args.train_num_samples or len(loader)
-        num_batches = args.steps_per_epoch or max(1, num_samples // global_batch)
+        num_batches = args.steps_per_epoch or max(1, num_samples // samples_per_step)
         data["train"] = DataInfo(loader, num_samples, num_batches)
 
     if args.val_data:

@@ -54,22 +54,25 @@ class RetrievalImageDataset:
 # of paying a fresh TPU compile each time (params flow in as an argument)
 # Bounded (LRU, insertion-ordered) so long-lived processes that evaluate
 # many models (sweeps, test suites) don't pin every jitted executable +
-# model object forever; id()-keys are only compared while the object is
-# alive in the cache, so eviction also prevents id-reuse aliasing.
+# model object forever.  Each entry holds a STRONG reference to the
+# objects its id()-key names (anchors): CPython reuses a freed object's
+# address, so without the anchor a dead model's cache entry could alias a
+# new model allocated at the same id and return encoders closed over the
+# wrong architecture.
 _ENCODER_CACHE: "dict" = {}
 _ENCODER_CACHE_MAX = 4
 
 
-def _cached(cache_key, build):
+def _cached(cache_key, build, anchors=()):
     """Insertion-ordered LRU get-or-build: the ONE place the eviction
     policy lives (both the encoder triple and the val-loss feature fn
-    use it)."""
+    use it).  `anchors` are kept alive with the entry (see above)."""
     if cache_key not in _ENCODER_CACHE:
         value = build()
         while len(_ENCODER_CACHE) >= _ENCODER_CACHE_MAX:
             _ENCODER_CACHE.pop(next(iter(_ENCODER_CACHE)))
-        _ENCODER_CACHE[cache_key] = value
-    return _ENCODER_CACHE[cache_key]
+        _ENCODER_CACHE[cache_key] = (anchors, value)
+    return _ENCODER_CACHE[cache_key][1]
 
 
 def make_encoders(model, params, mesh=None):
@@ -119,7 +122,9 @@ def make_encoders(model, params, mesh=None):
 
         return enc_image, enc_text_norm, enc_text_raw
 
-    enc_image, enc_text_norm, enc_text_raw = _cached(cache_key, _build)
+    enc_image, enc_text_norm, enc_text_raw = _cached(
+        cache_key, _build, anchors=(model, mesh)
+    )
 
     if mesh is not None and mesh.devices.size > 1:
         # explicit placement: jit with non-trivial in_shardings refuses raw
@@ -162,16 +167,46 @@ def make_encoders(model, params, mesh=None):
 
 
 def host_local_params(params):
-    """Pull a (replicated) global-mesh param pytree onto this host as plain
-    arrays, so the master process can run eval on a host-local mesh without
-    a cross-process collective (multi-host rank-0 eval path)."""
+    """Pull a global-mesh param pytree onto this host as plain arrays, so
+    the master process can run eval on a host-local mesh without a
+    cross-process collective (multi-host rank-0 eval path).
+
+    Replicated leaves copy one shard; SHARDED leaves (a 2-D dp,tp mesh)
+    are reassembled from this host's addressable shards — valid whenever
+    the model axis lies within a host, the layout parallel/tp.py
+    prescribes.  If this host's shards don't cover a leaf (model axis
+    spanning hosts) there is no collective-free reassembly: raise rather
+    than silently evaluate partial weight tensors."""
     if jax.process_count() == 1:
         return params
 
     def _local(x):
-        if hasattr(x, "addressable_data"):
+        if not hasattr(x, "addressable_shards"):
+            return np.asarray(x)
+        if getattr(x, "is_fully_replicated", False):
             return np.asarray(x.addressable_data(0))
-        return np.asarray(x)
+        out = np.empty(x.shape, x.dtype)
+        covered = 0
+        seen = set()
+        for s in x.addressable_shards:
+            idx = tuple(
+                (sl.start, sl.stop) for sl in s.index
+            )
+            if idx in seen:
+                continue
+            seen.add(idx)
+            block = np.asarray(s.data)
+            out[s.index] = block
+            covered += block.size
+        if covered != x.size:
+            raise ValueError(
+                "host_local_params: this host's shards cover "
+                f"{covered}/{x.size} elements of a {x.shape} param — the "
+                "model axis spans hosts, so master-only eval cannot "
+                "reassemble the weights locally.  Keep the tp axis within "
+                "one host (parallel/tp.py) or disable in-loop eval."
+            )
+        return out
 
     return jax.tree.map(_local, params)
 
@@ -343,7 +378,7 @@ def evaluate_on_split(
 
         return batch_feats
 
-    batch_feats = _cached(("val_feats", id(model)), _build)
+    batch_feats = _cached(("val_feats", id(model)), _build, anchors=(model,))
 
     all_img, all_txt = [], []
     cumulative_loss = 0.0

@@ -502,8 +502,14 @@ def main(argv=None) -> Dict:
         # state, and concurrent same-path Orbax saves from every process
         # would race on the snapshot dir and the latest pointer
         # (reference gates saving on is_master too, main.py:552)
-        if (args.save_frequency and completed % args.save_frequency == 0
-                and is_master):
+        # the FINAL epoch always saves, whatever the cadence (reference
+        # main.py:565: completed_epoch == args.epochs OR save_frequency
+        # divides) — otherwise --epochs 10 --save-frequency 3 would train
+        # to completion and silently drop the fully-trained model
+        if is_master and (
+            completed == args.epochs
+            or (args.save_frequency and completed % args.save_frequency == 0)
+        ):
             save_checkpoint(
                 state,
                 args.checkpoint_path,
@@ -516,6 +522,14 @@ def main(argv=None) -> Dict:
 
     if sync_proc is not None:
         sync_proc.terminate()
+        # one FINAL sync after the daemon stops: checkpoints written inside
+        # the last remote_sync_frequency window would otherwise never
+        # upload (reference main.py:603-607 does the same explicit sync)
+        from cosmos_tpu.training.file_utils import remote_sync
+
+        if not remote_sync(args.checkpoint_path, args.remote_sync,
+                           args.remote_sync_protocol):
+            logger.error("final remote sync failed")
     return all_metrics
 
 
@@ -539,7 +553,14 @@ def train_one_epoch(
 
     metrics = {}
     data_time = step_time = 0.0
+    # throughput window: samples/s divides the samples dispatched since the
+    # LAST LOG by the wall time since then — resetting the baseline every
+    # iteration (the old t_end = t_data) inflated the figure ~log_every_n×
+    # exactly when the input pipeline is the bottleneck, masking the
+    # data-bound regime the meter exists to diagnose
+    samples_per_step = global_batch * max(1, args.accum_freq)
     t_end = time.perf_counter()
+    t_window, steps_in_window = t_end, 0
     profile_remaining = getattr(args, "profile_steps", 0)
     for i in range(steps_per_epoch):
         if profile_remaining and i == profile_remaining:
@@ -564,14 +585,15 @@ def train_one_epoch(
         t_data = time.perf_counter()
         data_time += t_data - t_end
         state, m = step_fn(state, batch)
+        steps_in_window += 1
         if (i % args.log_every_n_steps == 0) or (i == steps_per_epoch - 1):
             loss = float(m["loss"])  # forces completion of the chain
             t_step = time.perf_counter()
             step_time += t_step - t_data
             samples_per_sec = (
-                global_batch * min(args.log_every_n_steps, i + 1)
-                / max(t_step - t_end, 1e-9)
-            ) if i else global_batch / max(t_step - t_end, 1e-9)
+                samples_per_step * steps_in_window
+                / max(t_step - t_window, 1e-9)
+            )
             scalars = {
                 k: float(v) for k, v in m.items()
             }
@@ -598,8 +620,9 @@ def train_one_epoch(
             metrics = scalars
             data_time = 0.0
             t_end = time.perf_counter()
+            t_window, steps_in_window = t_end, 0
         else:
-            t_end = t_data
+            t_end = time.perf_counter()
     return state, {f"train_{k}": v for k, v in metrics.items()}
 
 

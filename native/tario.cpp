@@ -190,7 +190,12 @@ static void stream_shard(Reader* r, const std::string& path) {
       fseek(f, static_cast<long>(padded), SEEK_CUR);
       continue;
     }
-    const size_t dot = name.find('.');
+    // split at the first dot of the BASENAME (webdataset base_plus_ext;
+    // must match data/webdataset.py tar_to_samples): './0001.jpg' or a
+    // dotted directory like 'v1.2/0001.jpg' must not break key grouping
+    const size_t slash = name.rfind('/');
+    const size_t base = slash == std::string::npos ? 0 : slash + 1;
+    const size_t dot = name.find('.', base);
     if (dot == std::string::npos) {
       fseek(f, static_cast<long>(padded), SEEK_CUR);
       continue;
@@ -202,7 +207,15 @@ static void stream_shard(Reader* r, const std::string& path) {
     m.data.resize(size);
     if (fread(m.data.data(), 1, size, f) != size) break;  // truncated
     fseek(f, static_cast<long>(padded - size), SEEK_CUR);
-    if (m.key != cur_key) {
+    // a repeated extension within the same key starts a NEW sample (the
+    // Python path's nothrow regrouping: concatenated tars with repeated
+    // keys must yield every pair, not overwrite the earlier members)
+    bool dup_ext = false;
+    if (cur && m.key == cur_key) {
+      for (const auto& em : cur->members)
+        if (em.ext == m.ext) { dup_ext = true; break; }
+    }
+    if (m.key != cur_key || dup_ext) {
       flush();
       if (r->stop) break;
       cur = new Sample();

@@ -93,3 +93,75 @@ def test_val_and_train_eval_splits(tmp_path):
     imgs, toks = te_batches[0]
     assert imgs.shape[1:] == (32, 32, 3)
     assert toks.shape[1] == 12
+
+
+def test_accum_freq_divides_epoch_steps():
+    """One optimizer step eats accum_freq micro-batches (reference
+    train.py:106 divides num_batches by accum_freq) — otherwise each
+    'epoch' would traverse the dataset accum_freq times."""
+    args = _args(["--dataset-type", "synthetic", "--train-num-samples", "32",
+                  "--accum-freq", "4"])
+    data = get_data(args, tokenizer=None, image_size=32, context_length=12)
+    assert data["train"].num_batches == 4  # 32 / (2 * 4)
+
+
+def test_set_epoch_rekeys_long_lived_iterator():
+    """main.py creates ONE iter() for the whole run and calls set_epoch
+    each epoch: the stream must re-key itself when the epoch advances,
+    and a resume at epoch k must reproduce epoch k's batches."""
+    def loader(extra=()):
+        args = _args(["--dataset-type", "synthetic",
+                      "--train-num-samples", "16"] + list(extra))
+        return get_data(args, tokenizer=None, image_size=32,
+                        context_length=12)["train"].dataloader
+
+    a = loader()
+    it = iter(a)
+    e0 = next(it)
+    a.set_epoch(1)
+    e1 = next(it)
+    # epoch keying changed the stream
+    assert not np.array_equal(e0["global_images"], e1["global_images"])
+
+    # a FRESH loader jumped straight to epoch 1 (resume) sees the same
+    # epoch-1 stream the continuous run saw
+    b = loader()
+    b.set_epoch(1)
+    r1 = next(iter(b))
+    np.testing.assert_array_equal(e1["global_images"], r1["global_images"])
+    np.testing.assert_array_equal(e1["texts"], r1["texts"])
+
+
+def test_csv_loader_shards_rows_per_process(tmp_path):
+    """Multi-host CSV training must feed DISJOINT row slices (the
+    reference partitions via DistributedSampler) — identical per-host
+    batches would fill the contrastive matrix with duplicate negatives."""
+    import csv
+
+    from cosmos_tpu.training.data_pipeline import CsvTrainLoader
+    from cosmos_tpu.training.data_pipeline import make_train_config
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        p = tmp_path / f"im{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(p)
+        rows.append((str(p), f"caption number {i}"))
+    csv_path = tmp_path / "train.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["filepath", "title"])
+        w.writerows(rows)
+
+    def tokens_for(pi, pc):
+        args = _args(["--train-data", str(csv_path),
+                      "--train-num-samples", "8"])
+        cfg = make_train_config(args, process_index=pi, process_count=pc)
+        ldr = CsvTrainLoader(cfg, str(csv_path), "filepath", "title", ",")
+        batch = next(iter(ldr))
+        return batch["texts"]
+
+    t0, t1 = tokens_for(0, 2), tokens_for(1, 2)
+    # per-host batches draw from disjoint row slices -> different captions
+    assert not np.array_equal(t0, t1)

@@ -60,9 +60,36 @@ def test_val_eval_jit_cached(tmp_path):
     model, params = create_model("ViT-Tiny-Test")
     ev._ENCODER_CACHE.clear()
     evaluate_on_split(model, params, loader, keyword="a")
-    fn1 = ev._ENCODER_CACHE[("val_feats", id(model))]
+    fn1 = ev._ENCODER_CACHE[("val_feats", id(model))][1]  # (anchors, value)
     n1 = fn1._cache_size()
     evaluate_on_split(model, params, loader, keyword="b")
-    fn2 = ev._ENCODER_CACHE[("val_feats", id(model))]
+    fn2 = ev._ENCODER_CACHE[("val_feats", id(model))][1]
     assert fn1 is fn2
     assert fn2._cache_size() == n1  # same signatures -> zero new compiles
+
+
+def test_host_local_params_reassembles_sharded_leaves(monkeypatch):
+    """Multi-host rank-0 eval pulls params host-local: replicated leaves
+    copy one shard, SHARDED leaves (2-D dp,tp meshes) reassemble from the
+    addressable shards — feeding a bare addressable_data(0) slice of a
+    TP-sharded kernel into eval would be silently wrong math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cosmos_tpu.parallel.mesh import create_mesh
+    from cosmos_tpu.training import evaluate as ev
+
+    mesh = create_mesh()  # 8 virtual CPU devices
+    full = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    sharded = jax.device_put(
+        jnp.asarray(full), NamedSharding(mesh, P("data", None)))
+    replicated = jax.device_put(jnp.asarray(full), NamedSharding(mesh, P()))
+
+    # pretend this is a 2-process run (all shards still addressable, the
+    # layout parallel/tp.py prescribes: model axis within a host)
+    monkeypatch.setattr(ev.jax, "process_count", lambda: 2)
+    out = ev.host_local_params({"a": sharded, "b": replicated})
+    np.testing.assert_array_equal(out["a"], full)
+    np.testing.assert_array_equal(out["b"], full)
