@@ -60,9 +60,14 @@ def sample_captions(
     """Returns k caption strings for one sample (data.py:213-260)."""
     if sampling_mode == "raw":
         assert k == 1
-        return random_sample_from_list(_as_list(text["raw_caption"]), k, rng)
+        # empty/absent raw_caption falls back to "" like the DreamLIP
+        # pools below — divmod(k, 0) in random_sample_from_list is not a
+        # useful way to report a caption-less sample
+        return random_sample_from_list(
+            _as_list(text.get("raw_caption")) or [""], k, rng
+        )
     if sampling_mode == "raw_pixelprose":
-        return [text["original_caption"]]
+        return [str(text.get("original_caption") or "")]
 
     if sampling_mode in ("random", "textcrop", "short", "long"):
         if sampling_mode == "short":
@@ -88,7 +93,11 @@ def sample_captions(
         return random_sample_from_list(pool, k, rng)
 
     if sampling_mode in ("random_pixelprose", "textcrop_pixelprose"):
-        pool = [text["original_caption"]] + split_caption(text.get("caption", ""))
+        pool = _as_list(text.get("original_caption")) + split_caption(
+            str(text.get("caption") or "")
+        )
+        if not pool:
+            pool = [""]
         if sampling_mode == "textcrop_pixelprose":
             assert k >= 2
             global_nums = [rng.randint(1, 5) for _ in range(2)]
@@ -101,6 +110,21 @@ def sample_captions(
         return random_sample_from_list(pool, k, rng)
 
     raise NotImplementedError(f"invalid caption sampling mode {sampling_mode}")
+
+
+def default_caption(meta: Dict) -> str:
+    """Best-available single eval caption for a sample's json/txt meta:
+    raw_caption, else the pixelprose original_caption, else the first
+    'caption' sentence, else "".  Val loaders use this so a
+    pixelprose-style val shard doesn't silently evaluate against
+    all-empty text (every field is str-coerced — nested json values
+    must not crash the single-pass val loop)."""
+    for field in ("raw_caption", "original_caption", "caption"):
+        pool = _as_list(meta.get(field))
+        if pool:
+            first = pool[0]
+            return first if isinstance(first, str) else str(first)
+    return ""
 
 
 def sample_and_tokenize(

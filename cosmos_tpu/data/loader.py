@@ -134,56 +134,28 @@ def _worker_loop(cfg: WdsTrainConfig, worker_index: int, epoch0: int,
         rng = random.Random(hash((cfg.seed, epoch, cfg.process_index, worker_index)))
 
         def sample_stream():
-            import io as _io
-            import json as _json
+            jpeg_decoder = None
+            if use_native:
+                from cosmos_tpu.data import native as native_io
 
-            from PIL import Image
-
-            from cosmos_tpu.data.webdataset import IMG_EXTS
+                def jpeg_decoder(data):
+                    return native_io.decode_jpeg_scaled(
+                        data, min_size=decode_min_size
+                    )
 
             for shard in shards.epoch_shards(epoch):
                 if use_native:
                     from cosmos_tpu.data import native as native_io
 
-                    for raw in native_io.NativeTarStream([shard]):
-                        meta = None
-                        if "json" in raw:
-                            try:
-                                meta = _json.loads(raw["json"])
-                            except Exception:
-                                continue
-                        elif "txt" in raw:
-                            meta = {"raw_caption": [raw["txt"].decode("utf-8", "replace")]}
-                        if meta is None:
-                            continue
-                        img = None
-                        if "jpg" in raw or "jpeg" in raw:
-                            arr = native_io.decode_jpeg_scaled(
-                                raw.get("jpg") or raw.get("jpeg"),
-                                min_size=decode_min_size,
-                            )
-                            if arr is not None:
-                                img = Image.fromarray(arr)
-                        if img is None:
-                            for ext in IMG_EXTS:
-                                if ext in raw:
-                                    try:
-                                        img = Image.open(_io.BytesIO(raw[ext]))
-                                        img.load()
-                                    except Exception:
-                                        img = None
-                                    break
-                        if img is None:
-                            continue
-                        yield img, meta
+                    raws = native_io.NativeTarStream([shard])
                 else:
-                    for raw in tar_to_samples(shard):
-                        decoded = decode_sample(raw)
-                        if decoded is None:
-                            continue
-                        yield decoded
+                    raws = tar_to_samples(shard)
+                for raw in raws:
+                    decoded = decode_sample(raw, jpeg_decoder=jpeg_decoder)
+                    if decoded is None:
+                        continue
+                    yield decoded
 
-        n_crops = cfg.global_crops_number + cfg.local_crops_number
         k = cfg.num_sampled_captions
         buf: List = []
         for img, meta in shuffle_buffer(sample_stream(), cfg.shuffle_buffer, rng):
@@ -218,20 +190,30 @@ def _worker_loop(cfg: WdsTrainConfig, worker_index: int, epoch0: int,
             epoch += 1
 
 
-def _collate(buf, cfg: WdsTrainConfig) -> Dict[str, np.ndarray]:
-    b = len(buf)
-    g = cfg.global_crops_number
-    n = cfg.local_crops_number
+def collate_views(buf, g: int, n: int) -> Dict[str, np.ndarray]:
+    """[(crops list, tokens [k, L])] -> views-major batch arrays.
+
+    THE one collation rule — the wds worker, SyntheticTrainLoader and
+    CsvTrainLoader all batch through here (three drifted copies once
+    shipped an IndexError on the default non-multicrop config)."""
     out: Dict[str, np.ndarray] = {}
     gi = np.stack([np.stack([s[0][v] for s in buf]) for v in range(g)])
     out["global_images"] = gi  # [g, B, H, W, 3] uint8
-    if cfg.use_multicrop and n > 0:
+    if n > 0:
         li = np.stack([np.stack([s[0][g + v] for s in buf]) for v in range(n)])
         out["local_images"] = li
     out["texts"] = np.stack(
         [np.stack([s[1][v] for s in buf]) for v in range(buf[0][1].shape[0])]
     )  # [k, B, L]
     return out
+
+
+def _collate(buf, cfg: WdsTrainConfig) -> Dict[str, np.ndarray]:
+    # non-multicrop workers produce ONE crop per sample (the reference's
+    # plain train transform), whatever the crop-count fields say
+    g = cfg.global_crops_number if cfg.use_multicrop else 1
+    n = cfg.local_crops_number if cfg.use_multicrop else 0
+    return collate_views(buf, g, n)
 
 
 class WdsTrainLoader:
@@ -345,7 +327,15 @@ class WdsTrainLoader:
             self._epoch_qs = [eq]
             self._procs = [t]
         while True:
-            yield self._q.get()
+            try:
+                yield self._q.get(timeout=30.0)
+            except queue_mod.Empty:
+                # same fail-loudly contract as the multi-process path: a
+                # dead inline thread must raise, not hang q.get() forever
+                if not self._procs[0].is_alive():
+                    raise RuntimeError(
+                        "inline data-loader thread died; see logs above"
+                    )
 
     def shutdown(self):
         for p in self._procs:
@@ -398,6 +388,7 @@ class WdsValLoader:
         self.num_samples = num_samples
 
     def __iter__(self):
+        from cosmos_tpu.data.caption import default_caption
         from cosmos_tpu.data.tokenizer import SimpleTokenizer
         from cosmos_tpu.data.transforms import EvalTransform
         from cosmos_tpu.data.webdataset import decode_sample, tar_to_samples
@@ -412,8 +403,7 @@ class WdsValLoader:
                 if decoded is None:
                     continue
                 img, meta = decoded
-                caption = meta.get("raw_caption") or [""]
-                caption = caption[0] if isinstance(caption, list) else caption
+                caption = default_caption(meta)
                 imgs.append(tf(img))
                 txts.append(tokenizer([caption])[0])
                 seen += 1

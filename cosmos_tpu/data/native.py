@@ -32,12 +32,27 @@ def _load() -> Optional[ctypes.CDLL]:
     if not _LIB_PATH.exists():
         build = _NATIVE_DIR / "build.sh"
         if build.exists():
+            # serialize the auto-build across concurrent loader workers
+            # (flock) and land the .so atomically (temp + rename): a
+            # sibling must never dlopen a partially written library
+            import fcntl
+            import os
+
             try:
-                subprocess.run(
-                    ["sh", str(build)], check=True, capture_output=True
-                )
+                with open(_NATIVE_DIR / ".tario.build.lock", "w") as lk:
+                    fcntl.flock(lk, fcntl.LOCK_EX)
+                    if not _LIB_PATH.exists():  # re-check under the lock
+                        tmp = _NATIVE_DIR / f".libtario.{os.getpid()}.so"
+                        subprocess.run(
+                            ["sh", str(build), str(tmp)],
+                            check=True, capture_output=True,
+                        )
+                        os.replace(tmp, _LIB_PATH)
             except subprocess.CalledProcessError as e:
                 logger.warning(f"tario build failed: {e.stderr.decode()[:300]}")
+                return None
+            except OSError as e:  # read-only install dir, etc.
+                logger.warning(f"tario build unavailable: {e!r}")
                 return None
     if not _LIB_PATH.exists():
         return None

@@ -141,6 +141,17 @@ class MulticropAugmentation:
     local_size: int = 96
     as_uint8: bool = False  # skip normalization; done on-device in the step
 
+    def __post_init__(self):
+        # fail at CONSTRUCTION: the per-call assert used to fire inside
+        # the loader worker, whose per-sample except swallowed it into an
+        # infinite produce-nothing warn loop at step 0 (the reference
+        # asserts the same recipe invariant, train.py:112)
+        if self.global_crops_number != 2:
+            raise ValueError(
+                "the multicrop recipe is fixed at 2 global crops "
+                f"(got --global-crops-number {self.global_crops_number})"
+            )
+
     def _common(self, img: Image.Image, rng: _random.Random) -> Image.Image:
         if rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
@@ -153,7 +164,6 @@ class MulticropAugmentation:
     def __call__(
         self, img: Image.Image, rng: Optional[_random.Random] = None
     ) -> List[np.ndarray]:
-        assert self.global_crops_number == 2
         rng = rng or _random
         img = _to_rgb(img)
         crops: List[np.ndarray] = []

@@ -209,14 +209,23 @@ def shuffle_buffer(
     yield from buf
 
 
-def decode_sample(sample: Dict[str, bytes]):
-    """bytes -> (PIL image, caption dict) or None if not a valid pair."""
+def decode_sample(sample: Dict[str, bytes], jpeg_decoder=None):
+    """bytes -> (PIL image, caption dict) or None if not a valid pair.
+
+    ``jpeg_decoder(data) -> np.ndarray | None`` is an optional fast path
+    (the native DCT-scaled decoder); on None/failure the PIL path runs.
+    This is the ONE decode implementation — the native loader branch
+    passes its hook here instead of re-implementing the parse/fallback
+    rules (which had already drifted once).
+    """
     from PIL import Image
 
     img_bytes = None
+    img_ext = None
     for ext in IMG_EXTS:
         if ext in sample:
             img_bytes = sample[ext]
+            img_ext = ext
             break
     meta = None
     if "json" in sample:
@@ -227,8 +236,16 @@ def decode_sample(sample: Dict[str, bytes]):
             return None
     elif "txt" in sample:
         meta = {"raw_caption": [sample["txt"].decode("utf-8", "replace")]}
-    if img_bytes is None or meta is None:
+    if not img_bytes or meta is None:  # absent OR zero-length member
         return None
+    if jpeg_decoder is not None and img_ext in ("jpg", "jpeg"):
+        try:
+            arr = jpeg_decoder(img_bytes)
+        except Exception as e:
+            log_and_continue(e)
+            arr = None
+        if arr is not None:
+            return Image.fromarray(arr), meta
     try:
         img = Image.open(io.BytesIO(img_bytes))
         img.load()

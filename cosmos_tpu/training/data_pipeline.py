@@ -21,11 +21,32 @@ from cosmos_tpu.data.loader import (
     MapDatasetLoader,
     WdsTrainConfig,
     WdsTrainLoader,
+    collate_views,
 )
 from cosmos_tpu.data.transforms import EvalTransform, MulticropAugmentation
 from cosmos_tpu.data.webdataset import expand_urls
 
 logger = logging.getLogger(__name__)
+
+
+def _train_transform(cfg: WdsTrainConfig):
+    """Same transform-selection rule the wds worker uses (loader.py):
+    multicrop recipe when --use-imagecrop-aug, else the plain train
+    transform producing ONE crop."""
+    if cfg.use_multicrop:
+        return MulticropAugmentation(
+            image_size=cfg.image_size,
+            local_crops_number=cfg.local_crops_number,
+            global_crops_number=cfg.global_crops_number,
+            crop_scale=cfg.crop_scale,
+            local_size=cfg.local_size,
+            as_uint8=True,
+        )
+    from cosmos_tpu.data.transforms import image_transform_train
+
+    return image_transform_train(
+        cfg.image_size, aug_cfg=cfg.aug_cfg, as_uint8=True
+    )
 
 
 class SyntheticTrainLoader:
@@ -37,14 +58,7 @@ class SyntheticTrainLoader:
         self.cfg = cfg
         self.dataset = SyntheticDataset(num_samples, image_size=cfg.image_size)
         self.tokenizer = SimpleTokenizer(context_length=cfg.context_length)
-        self.transform = MulticropAugmentation(
-            image_size=cfg.image_size,
-            local_crops_number=cfg.local_crops_number,
-            global_crops_number=cfg.global_crops_number,
-            crop_scale=cfg.crop_scale,
-            local_size=cfg.local_size,
-            as_uint8=True,
-        )
+        self.transform = _train_transform(cfg)
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -63,34 +77,22 @@ class SyntheticTrainLoader:
                 + self.cfg.process_index
             )
             idx = self.cfg.process_index
+            g = self.cfg.global_crops_number if self.cfg.use_multicrop else 1
+            n = self.cfg.local_crops_number if self.cfg.use_multicrop else 0
             while self._epoch == epoch:
-                crops_list, tokens_list = [], []
+                buf = []
                 for _ in range(self.cfg.batch_size):
                     img, meta = self.dataset[idx % len(self.dataset)]
                     idx += self.cfg.process_count
-                    crops_list.append(self.transform(img, rng))
+                    crops = self.transform(img, rng)
+                    if not isinstance(crops, list):
+                        crops = [crops]
                     caps = sample_captions(
                         meta, self.cfg.num_sampled_captions,
                         self.cfg.caption_sampling_mode, rng,
                     )
-                    tokens_list.append(self.tokenizer(caps))
-                g = self.cfg.global_crops_number
-                n = self.cfg.local_crops_number
-                batch = {
-                    "global_images": np.stack(
-                        [np.stack([c[v] for c in crops_list]) for v in range(g)]
-                    ),
-                    "texts": np.stack(
-                        [np.stack([t[v] for t in tokens_list])
-                         for v in range(tokens_list[0].shape[0])]
-                    ),
-                }
-                if n:
-                    batch["local_images"] = np.stack(
-                        [np.stack([c[g + v] for c in crops_list])
-                         for v in range(n)]
-                    )
-                yield batch
+                    buf.append((crops, self.tokenizer(caps)))
+                yield collate_views(buf, g, n)
 
 
 class CsvTrainLoader:
@@ -99,33 +101,17 @@ class CsvTrainLoader:
 
     def __init__(self, cfg: WdsTrainConfig, csv_path: str, img_key: str,
                  caption_key: str, sep: str):
-        import csv as _csv
-
+        from cosmos_tpu.data.datasets import CsvDataset
         from cosmos_tpu.data.tokenizer import SimpleTokenizer
 
         self.cfg = cfg
-        self.rows = []
-        with open(csv_path, newline="") as f:
-            for row in _csv.DictReader(f, delimiter=sep):
-                self.rows.append((row[img_key], row[caption_key]))
+        ds = CsvDataset(csv_path, transform=None, img_key=img_key,
+                        caption_key=caption_key, sep=sep)
+        self.rows = list(zip(ds.images, ds.captions))
         if not self.rows:
             raise ValueError(f"no rows in {csv_path}")
         self.tokenizer = SimpleTokenizer(context_length=cfg.context_length)
-        if cfg.use_multicrop:
-            self.transform = MulticropAugmentation(
-                image_size=cfg.image_size,
-                local_crops_number=cfg.local_crops_number,
-                global_crops_number=cfg.global_crops_number,
-                crop_scale=cfg.crop_scale,
-                local_size=cfg.local_size,
-                as_uint8=True,
-            )
-        else:
-            from cosmos_tpu.data.transforms import image_transform_train
-
-            self.transform = image_transform_train(
-                cfg.image_size, aug_cfg=cfg.aug_cfg, as_uint8=True
-            )
+        self.transform = _train_transform(cfg)
         self._epoch = 0
 
     def __len__(self):
@@ -184,22 +170,9 @@ class CsvTrainLoader:
                 if len(crops_list) == self.cfg.batch_size:
                     g = self.cfg.global_crops_number if self.cfg.use_multicrop else 1
                     n = self.cfg.local_crops_number if self.cfg.use_multicrop else 0
-                    batch = {
-                        "global_images": np.stack(
-                            [np.stack([c[v] for c in crops_list])
-                             for v in range(g)]
-                        ),
-                        "texts": np.stack(
-                            [np.stack([t[v] for t in tokens_list])
-                             for v in range(tokens_list[0].shape[0])]
-                        ),
-                    }
-                    if n:
-                        batch["local_images"] = np.stack(
-                            [np.stack([c[g + v] for c in crops_list])
-                             for v in range(n)]
-                        )
-                    yield batch
+                    yield collate_views(
+                        list(zip(crops_list, tokens_list)), g, n
+                    )
                     yielded += 1
                     crops_list, tokens_list = [], []
             if yielded == 0 and self._epoch == epoch:
@@ -230,6 +203,14 @@ def make_train_config(args, process_index: int = 0, process_count: int = 1,
     urls, weights = expand_urls(
         args.train_data or "", args.train_data_upsampling_factors
     )
+    if args.use_imagecrop_aug and args.global_crops_number != 2:
+        # fail HERE in the main process with the flag name — inside a
+        # loader worker the same error surfaces only as a generic
+        # "workers died" after a 30s timeout
+        raise ValueError(
+            "--global-crops-number must be 2 with --use-imagecrop-aug "
+            "(the COSMOS/DINO recipe; reference train.py:112)"
+        )
     return WdsTrainConfig(
         urls=urls,
         weights=weights,

@@ -165,3 +165,47 @@ def test_csv_loader_shards_rows_per_process(tmp_path):
     t0, t1 = tokens_for(0, 2), tokens_for(1, 2)
     # per-host batches draw from disjoint row slices -> different captions
     assert not np.array_equal(t0, t1)
+
+
+def test_default_non_multicrop_webdataset_batches(tmp_path):
+    """Plain CLIP training (no --use-imagecrop-aug, the params.py default)
+    must produce [1, B, H, W, 3] batches — the old _collate indexed
+    global_crops_number crops into 1-crop samples and killed every worker
+    on the first full batch."""
+    shard = _mini_shard(tmp_path / "s0.tar", n=6)
+    args = parse_args([
+        "--batch-size", "2", "--workers", "0",
+        "--train-data", shard, "--train-num-samples", "6",
+        "--caption-sampling-mode", "raw",
+    ])
+    assert not args.use_imagecrop_aug  # the default under test
+    data = get_data(args, tokenizer=None, image_size=32, context_length=12)
+    loader = data["train"].dataloader
+    batch = next(iter(loader))
+    loader.shutdown()
+    assert batch["global_images"].shape[:2] == (1, 2)
+    assert "local_images" not in batch
+    assert batch["texts"].shape[0] == 1  # raw mode: one caption
+
+
+def test_synthetic_honors_non_multicrop():
+    args = _args(["--dataset-type", "synthetic", "--train-num-samples", "8"])
+    args.use_imagecrop_aug = False
+    data = get_data(args, tokenizer=None, image_size=32, context_length=12)
+    batch = next(iter(data["train"].dataloader))
+    assert batch["global_images"].shape[0] == 1
+    assert "local_images" not in batch
+
+
+def test_empty_caption_pools_do_not_crash():
+    from cosmos_tpu.data.caption import default_caption, sample_captions
+
+    assert sample_captions({"raw_caption": []}, 1, "raw") == [""]
+    assert sample_captions({}, 1, "raw_pixelprose") == [""]
+    got = sample_captions({}, 3, "random_pixelprose")
+    assert got == ["", "", ""]
+    # default_caption: pixelprose fallback + str coercion
+    assert default_caption({"original_caption": "a dog"}) == "a dog"
+    assert default_caption({"caption": ["x", "y"]}) == "x"
+    assert default_caption({"raw_caption": [["nested"]]}) == "['nested']"
+    assert default_caption({}) == ""
