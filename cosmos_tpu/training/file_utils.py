@@ -34,12 +34,28 @@ def remote_sync_fsspec(local_dir: str, remote_dir: str) -> bool:
     try:
         import fsspec
 
+        import os
+
+        import fsspec.core as _core
+
         a = fsspec.get_mapper(local_dir)
         b = fsspec.get_mapper(remote_dir)
+        # compare SIZES via filesystem metadata — mapper reads (b[k])
+        # would download every remote checkpoint byte each sync period
+        # just to decide nothing changed
+        rfs, rroot = _core.url_to_fs(remote_dir)
+        try:
+            remote_sizes = {
+                os.path.relpath(i["name"], rroot): i.get("size")
+                for i in rfs.find(rroot, detail=True).values()
+            }
+        except FileNotFoundError:
+            remote_sizes = {}
         for k in a:
             if "epoch_latest" in k:
                 continue
-            if k not in b or len(a[k]) != len(b[k]):
+            local_size = os.path.getsize(os.path.join(local_dir, k))
+            if remote_sizes.get(k) != local_size:
                 b[k] = a[k]
         return True
     except Exception as e:

@@ -267,6 +267,13 @@ def main(argv=None) -> Dict:
         base_lr = float(args.lr)
         lr_schedule = lambda step: base_lr  # noqa: E731
     else:
+        if args.lr_scheduler == "const-cooldown" and not args.epochs_cooldown:
+            # reference main.py asserts this; cooldown_steps=0 would
+            # silently run a plain constant LR (and 0-divide in the
+            # never-taken cooldown branch)
+            raise ValueError(
+                "--lr-scheduler const-cooldown requires --epochs-cooldown"
+            )
         lr_schedule = get_lr_scheduler(
             args.lr_scheduler,
             args.lr,
@@ -295,7 +302,22 @@ def main(argv=None) -> Dict:
     import jax.numpy as jnp
 
     is_coca = model.cfg.multimodal_cfg is not None
+    # static frozen-leaf mask: zeroes locked grads INSIDE the step so the
+    # clip norm / grad_norm metric cover the trainable subset only and
+    # XLA drops the frozen towers' dW work (reference: requires_grad=False
+    # params have no grads at all)
+    frozen = None
+    if args.lock_image or args.lock_text:
+        from cosmos_tpu.training.train import frozen_mask
+
+        frozen = frozen_mask(
+            params, args.lock_image, args.lock_text,
+            args.lock_image_unlocked_groups,
+            args.lock_text_unlocked_layers,
+            args.lock_text_freeze_layer_norm,
+        )
     step_cfg = TrainStepConfig(
+        frozen=frozen,
         cosmos=args.cosmos,
         siglip=args.siglip,
         distill=args.distill,

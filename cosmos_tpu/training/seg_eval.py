@@ -41,17 +41,26 @@ def parse_args(argv=None):
                    help="evaluate only the first N images (smoke)")
     p.add_argument("--student", action="store_true", default=False,
                    help="use student weights instead of the teacher")
-    p.add_argument("--output-all", action="store_true", default=True)
-    p.add_argument("--attentional-pool", action="store_true", default=True)
-    p.add_argument("--add-zero-attn", action="store_true", default=True)
-    p.add_argument("--cosmos", action="store_true", default=True)
+    # tri-state (BooleanOptionalAction): --no-output-all etc. let a plain
+    # non-COSMOS CLIP checkpoint build without the cross-modal heads —
+    # store_true with default=True had no off-spelling at all
+    p.add_argument("--output-all", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--attentional-pool",
+                   action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--add-zero-attn", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--cosmos", action=argparse.BooleanOptionalAction,
+                   default=True)
     return p.parse_args(argv)
 
 
-def build_segmentor(args, bench):
+def load_model_for_seg(args):
+    """Build the model and load weights ONCE — benchmarks differ only in
+    classnames/thresholds, so per-benchmark rebuilds (and re-downloads)
+    were pure waste."""
     from cosmos_tpu.models.checkpoint import load_checkpoint
     from cosmos_tpu.models.factory import create_model, get_tokenizer
-    from cosmos_tpu.segmentation import CLIPSegmentor, load_seg_classnames
 
     model, params = create_model(
         args.model,
@@ -72,7 +81,13 @@ def build_segmentor(args, bench):
         which = "student" if args.student else "teacher"
         params = load_checkpoint(model, params, ckpt, which=which)
     tokenizer = get_tokenizer(args.model)
+    return model, params, tokenizer
 
+
+def build_segmentor(args, bench, loaded=None):
+    from cosmos_tpu.segmentation import CLIPSegmentor, load_seg_classnames
+
+    model, params, tokenizer = loaded or load_model_for_seg(args)
     return CLIPSegmentor(
         model,
         params,
@@ -87,10 +102,11 @@ def build_segmentor(args, bench):
     )
 
 
-def evaluate_benchmark(args, bench, data_root=None) -> Dict[str, float]:
+def evaluate_benchmark(args, bench, data_root=None,
+                       loaded=None) -> Dict[str, float]:
     from cosmos_tpu.segmentation import IoUMetric, SegDataset
 
-    seg = build_segmentor(args, bench)
+    seg = build_segmentor(args, bench, loaded)
     ds = SegDataset(bench, data_root=data_root, limit=args.limit)
     metric = IoUMetric(num_classes=seg.num_classes)
     t0 = time.time()
@@ -122,10 +138,13 @@ def main(argv=None) -> Dict[str, Dict[str, float]]:
         names = list(WITH_BACKGROUND if args.seg_w_background
                      else WITHOUT_BACKGROUND)
     results = {}
+    loaded = load_model_for_seg(args)
     for name in names:
         bench = SEG_BENCHMARKS[name]
         try:
-            results[name] = evaluate_benchmark(args, bench, args.seg_data_root)
+            results[name] = evaluate_benchmark(
+                args, bench, args.seg_data_root, loaded
+            )
         except FileNotFoundError as e:
             logger.error(f"{name}: dataset missing ({e}); skipping")
     print(json.dumps(results))

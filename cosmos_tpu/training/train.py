@@ -234,6 +234,22 @@ def create_optimizer(
     lock_text_freeze_layer_norm: Optional[bool] = None,
 ) -> optax.GradientTransformation:
     txs = []
+    if lock_image or lock_text:
+        # zero frozen grads BEFORE clipping: the reference's locked params
+        # have requires_grad=False, so clip_grad_norm_ never sees them —
+        # clipping against ||g_frozen + g_trainable|| would throttle the
+        # trainable tower by the (large) frozen tower's gradient norm
+        txs.append(
+            optax.masked(
+                optax.set_to_zero(),
+                lambda params: frozen_mask(
+                    params, lock_image, lock_text,
+                    lock_image_unlocked_groups,
+                    lock_text_unlocked_layers,
+                    lock_text_freeze_layer_norm,
+                ),
+            )
+        )
     if grad_clip_norm is not None:
         txs.append(optax.clip_by_global_norm(grad_clip_norm))
     txs.append(
@@ -247,6 +263,9 @@ def create_optimizer(
         )
     )
     if lock_image or lock_text:
+        # ...and zero frozen UPDATES after adamw: with zero grads adamw's
+        # grad-based term is zero but its decoupled weight decay would
+        # still shrink the locked weights every step
         txs.append(
             optax.masked(
                 optax.set_to_zero(),
@@ -329,6 +348,12 @@ class TrainStepConfig:
     # the (x/255 - mean)/std runs fused on the TPU, 4x less H2D traffic)
     image_mean: Tuple[float, ...] = (0.48145466, 0.4578275, 0.40821073)
     image_std: Tuple[float, ...] = (0.26862954, 0.26130258, 0.27577711)
+    # LiT locking: pytree of python bools (True = frozen leaf), computed
+    # by frozen_mask in main.py.  Zeroing the frozen grads INSIDE the step
+    # keeps the grad_norm metric and clip_by_global_norm on the trainable
+    # subset only (reference: requires_grad=False params simply have no
+    # grads) and lets XLA dead-code-eliminate the frozen towers' dW work.
+    frozen: Optional[Any] = None
     # per-step grad-norm metric.  OFF by default: the global_norm is a
     # second full read of every gradient leaf plus a scalar reduce baked
     # into each update fusion — measured 218.8 -> 231.8 img/s/chip on v5e
@@ -406,12 +431,14 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
         and getattr(model.cfg.vision_cfg, "patch_dropout", 0.0) > 0.0
     )
 
-    def _student_rngs(step):
-        if not patch_drop_active:
+    def _student_rngs(step, micro_idx=None):
+        if not patch_drop_active or step is None:
             return {}
         r = jax.random.fold_in(jax.random.PRNGKey(17), step)
         if axis_name is not None:   # per-device streams under shard_map
             r = jax.random.fold_in(r, jax.lax.axis_index(axis_name))
+        if micro_idx is not None:   # per-microbatch streams under accum
+            r = jax.random.fold_in(r, micro_idx)
         return {"rngs": {"patch_drop": r}}
 
     def _loss_fn(params, teacher_params, batch, step, dist_params=None):
@@ -519,9 +546,14 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
         losses["logit_scale"] = s_out["logit_scale"]
         return total, losses
 
-    def _fwd_features(params, mb):
+    def _fwd_features(params, mb, step=None, micro_idx=None):
         """Normalized (image_views, text_views, logit_scale) for one
-        microbatch — the eval-style forward (no cosmos heads)."""
+        microbatch — the eval-style forward (no cosmos heads).
+
+        (step, micro_idx) key the patch-dropout rng; the cache pass and
+        the gradient pass of _accum_exact use the SAME key per microbatch
+        so the cached features equal the re-forwarded ones and the
+        accum == big-batch gradient identity survives dropout."""
         g = mb["global_images"]
         vg, b = g.shape[0], g.shape[1]
         g_flat = _prep_images(g.reshape((vg * b,) + g.shape[2:]))
@@ -534,7 +566,8 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
         t = mb["texts"]
         k = t.shape[0]
         t_flat = t.reshape(k * b, t.shape[2])
-        s_out = model.apply({"params": params}, g_flat, t_flat, l_flat)
+        s_out = model.apply({"params": params}, g_flat, t_flat, l_flat,
+                            **_student_rngs(step, micro_idx))
         return (
             _views(s_out["image_features"], vg + vl),
             _views(s_out["text_features"], k),
@@ -552,11 +585,14 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
         averages over passes instead of summing."""
         A = cfg.accum_freq
 
-        def cache_one(_, mb):
-            img, txt, _scale = _fwd_features(state.params, mb)
+        def cache_one(_, inp):
+            m, mb = inp
+            img, txt, _scale = _fwd_features(state.params, mb, state.step, m)
             return None, (img, txt)
 
-        _, (imgs, txts) = jax.lax.scan(cache_one, None, batch)
+        _, (imgs, txts) = jax.lax.scan(
+            cache_one, None, (jnp.arange(A), batch)
+        )
         # [A, V, B, D] -> [V, A*B, D]
         a_, v_, b_, d_ = imgs.shape
         k_ = txts.shape[1]
@@ -568,7 +604,8 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
             m, mb = inp
 
             def loss_fn(params):
-                img_m, txt_m, scale = _fwd_features(params, mb)
+                img_m, txt_m, scale = _fwd_features(params, mb,
+                                                    state.step, m)
                 img_full = jax.lax.dynamic_update_slice(
                     img_cache, img_m, (0, m * b_, 0)
                 )
@@ -641,6 +678,11 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
             (total, aux), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
                 state.params, state.teacher_params, batch, state.step,
                 dist_params,
+            )
+        if cfg.frozen is not None:
+            grads = jax.tree.map(
+                lambda f, gl: jnp.zeros_like(gl) if f else gl,
+                cfg.frozen, grads,
             )
         if axis_name is not None:
             # shard_map per-device form: average across the data axis.

@@ -14,6 +14,7 @@ Parity targets:
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 from pathlib import Path
@@ -28,10 +29,15 @@ logger = logging.getLogger(__name__)
 _ASSETS = Path(__file__).resolve().parent.parent / "assets"
 
 
+@functools.lru_cache(maxsize=1)
 def load_imagenet_metadata() -> Dict:
+    # cached: the multi-MB 1000-class/80-template bank is re-requested
+    # every eval epoch (student AND teacher) and on each metadata-
+    # constant attribute access
     return json.loads((_ASSETS / "imagenet_zeroshot.json").read_text())
 
 
+@functools.lru_cache(maxsize=1)
 def load_classification_banks() -> Dict:
     return json.loads((_ASSETS / "classification_banks.json").read_text())
 

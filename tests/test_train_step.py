@@ -371,3 +371,95 @@ def test_lock_text_unlocked_layers():
     # full text lock (default) freezes everything including LNs
     hard = frozen_mask(params, lock_text=True)
     assert all(v is True for v in jax.tree.leaves(hard["text"]))
+
+
+def test_grad_clip_excludes_frozen_params():
+    """clip_by_global_norm must see ZEROED frozen grads (reference:
+    requires_grad=False params are invisible to clip_grad_norm_) — a
+    locked tower's gradient norm must not throttle the trainable one."""
+    import optax
+
+    from cosmos_tpu.training.train import frozen_mask
+
+    model, params = create_model("ViT-B-16", **TINY)
+    # artificial grads: HUGE in the (locked) image tower, tiny elsewhere
+    grads = jax.tree.map(jnp.zeros_like, params)
+    grads["visual"] = jax.tree.map(
+        lambda x: jnp.full_like(x, 1e3), grads["visual"]
+    )
+    grads["text"] = jax.tree.map(
+        lambda x: jnp.full_like(x, 1e-3), grads["text"]
+    )
+    trainable_norm = optax.global_norm(
+        jax.tree.map(
+            lambda f, g: jnp.zeros_like(g) if f else g,
+            frozen_mask(params, lock_image=True), grads,
+        )
+    )
+    clip = float(trainable_norm) * 10.0  # far above the trainable norm
+    opt = create_optimizer(
+        cosine_lr(1e-2, 0, 10), lock_image=True, grad_clip_norm=clip,
+        weight_decay=0.0,
+    )
+    updates, _ = opt.update(grads, opt.init(params), params)
+    # if the frozen tower's 1e3 grads had entered the norm, the clip
+    # scale (~clip/huge) would shrink the text updates by orders of
+    # magnitude; correct ordering leaves them at full (unclipped) size
+    lr0 = cosine_lr(1e-2, 0, 10)(0)
+    got = float(jnp.abs(updates["text"]["positional_embedding"]).max())
+    assert got > 0.5 * float(lr0) * 1e-3
+    # frozen leaves still receive exactly zero updates
+    assert float(jnp.abs(updates["visual"]["proj"]).max()) == 0.0
+
+
+def test_accum_applies_patch_dropout():
+    """--accum-freq > 1 must still apply --force-patch-dropout: the
+    cached-features pass used to run without the patch_drop rng, silently
+    disabling the requested regularization."""
+    def losses(patch_dropout):
+        model, params = create_model(
+            "ViT-B-16", **{**TINY, "force_patch_dropout": patch_dropout}
+        )
+        mesh = create_mesh(4)
+        opt = create_optimizer(cosine_lr(1e-3, 0, 10), weight_decay=0.0)
+        step = make_train_step(
+            model, opt, mesh,
+            TrainStepConfig(cosmos=False, accum_freq=2),
+        )
+        state = create_train_state(params, opt)
+        big = make_batch(jax.random.PRNGKey(3), b=8, k=1)
+        halves = {k: jnp.stack([v[:, :4], v[:, 4:]]) for k, v in big.items()}
+        _, m = step(state, halves)
+        return float(m["loss"])
+
+    base = losses(0.0)
+    dropped = losses(0.5)
+    assert np.isfinite(base) and np.isfinite(dropped)
+    # dropout active in the accum path -> the loss differs from the
+    # dropout-free trace (before the fix they were bit-identical)
+    assert abs(base - dropped) > 1e-6
+
+
+def test_step_frozen_mask_shrinks_grad_norm_metric():
+    """TrainStepConfig.frozen (set by main.py under LiT locking) zeroes
+    locked grads inside the step, so the grad_norm metric reports the
+    TRAINABLE subset like the reference (frozen params have no grads)."""
+    from cosmos_tpu.training.train import frozen_mask
+
+    model, params = create_model("ViT-B-16", **TINY)
+    mesh = create_mesh(4)
+    opt = create_optimizer(cosine_lr(1e-2, 0, 10), lock_image=True)
+    batch = make_batch(jax.random.PRNGKey(1), k=1)
+
+    def norm(frozen):
+        step = make_train_step(
+            model, opt, mesh,
+            TrainStepConfig(cosmos=False, log_grad_norm=True, frozen=frozen),
+        )
+        state = create_train_state(jax.tree.map(jnp.copy, params), opt)
+        _, m = step(state, batch)
+        return float(m["grad_norm"])
+
+    full = norm(None)
+    masked = norm(frozen_mask(params, lock_image=True))
+    assert 0.0 < masked < full
