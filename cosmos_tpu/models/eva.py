@@ -225,8 +225,12 @@ class Eva(nn.Module):
         if grid != native_grid:
             from .vit import interpolate_pos_embed
 
+            # antialias=True: timm's EVA checkpoint filter resamples
+            # abs-pos-embeds with F.interpolate(antialias=True); the CLIP
+            # towers keep the non-aa OpenCLIP kernel
             pos = interpolate_pos_embed(
-                pos, (native_grid, native_grid), (grid, grid))
+                pos, (native_grid, native_grid), (grid, grid),
+                antialias=True)
         x = x + pos.astype(x.dtype)[None]
 
         hd = w // g["heads"]

@@ -84,23 +84,62 @@ def _torch_bicubic_matrix(src: int, dst: int) -> np.ndarray:
     return m
 
 
+def _torch_bicubic_aa_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] matrix reproducing torch F.interpolate(mode='bicubic',
+    align_corners=False, antialias=True) — the PIL-aligned separable
+    path: cubic filter with a = -0.5, support widened by the downscale
+    factor, weights renormalized to sum 1.  timm's EVA checkpoint filter
+    resamples abs-pos-embeds with antialias=True, so EVA02 loads at
+    non-native resolution need THIS kernel for timm bit-parity (the
+    non-aa a = -0.75 matrix above matches OpenCLIP's
+    interpolate_pos_encoding instead).  Verified elementwise against the
+    torch oracle for up- and down-scaling (tests/test_eva.py)."""
+    if src == dst:
+        return np.eye(src)
+    scale = src / dst
+    sup_scale = max(scale, 1.0)
+    support = 2.0 * sup_scale
+    inv = 1.0 / sup_scale
+    a = -0.5
+
+    def w(t: float) -> float:
+        t = abs(t)
+        if t < 1.0:
+            return ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+        if t < 2.0:
+            return (((t - 5.0) * t + 8.0) * t - 4.0) * a
+        return 0.0
+
+    m = np.zeros((dst, src))
+    for i in range(dst):
+        center = scale * (i + 0.5)
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), src)
+        ws = np.array([w((j - center + 0.5) * inv)
+                       for j in range(xmin, xmax)])
+        m[i, xmin:xmax] = ws / ws.sum()
+    return m
+
+
 def interpolate_pos_embed(
     pos_embed: jax.Array,
     src_grid: Tuple[int, int],
     dst_grid: Tuple[int, int],
     num_prefix: int = 1,
+    antialias: bool = False,
 ) -> jax.Array:
     """Bicubic-resize the patch part of a [prefix+N, D] pos embed
-    (torch-F.interpolate-exact; see _torch_bicubic_matrix)."""
+    (torch-F.interpolate-exact; see _torch_bicubic_matrix).  antialias
+    selects the PIL-aligned a=-0.5 widened kernel (timm semantics) over
+    the default a=-0.75 non-aa kernel (OpenCLIP semantics)."""
     if src_grid == dst_grid:
         return pos_embed
     cls_pe, patch_pe = pos_embed[:num_prefix], pos_embed[num_prefix:]
     d = pos_embed.shape[-1]
     grid = patch_pe.reshape(src_grid[0], src_grid[1], d).astype(jnp.float32)
-    mh = jnp.asarray(_torch_bicubic_matrix(src_grid[0], dst_grid[0]),
-                     jnp.float32)
-    mw = jnp.asarray(_torch_bicubic_matrix(src_grid[1], dst_grid[1]),
-                     jnp.float32)
+    mk = _torch_bicubic_aa_matrix if antialias else _torch_bicubic_matrix
+    mh = jnp.asarray(mk(src_grid[0], dst_grid[0]), jnp.float32)
+    mw = jnp.asarray(mk(src_grid[1], dst_grid[1]), jnp.float32)
     resized = jnp.einsum("ah,hwd,bw->abd", mh, grid, mw)
     return jnp.concatenate(
         [cls_pe, resized.reshape(-1, d).astype(pos_embed.dtype)], axis=0

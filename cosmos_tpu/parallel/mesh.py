@@ -84,16 +84,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def per_process_batch_size(global_batch: int) -> int:
-    """Rows THIS process's loader must contribute so shard_batch's
-    process-local assembly reaches ``global_batch`` rows in total."""
-    n = jax.process_count()
-    assert global_batch % n == 0, (
-        f"global batch {global_batch} not divisible by {n} processes"
-    )
-    return global_batch // n
-
-
 def shard_batch(batch: dict, mesh: Mesh, batch_axis: int = 1) -> dict:
     """Place a host batch dict ([V, B_local, ...] arrays) onto the mesh with
     the batch axis sharded over 'data'.

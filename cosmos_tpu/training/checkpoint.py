@@ -126,15 +126,27 @@ def _localize(path: str) -> str:
     made remote resume a guaranteed FileNotFoundError before this."""
     if "://" not in str(path):
         return str(path)
+    import hashlib
+    import shutil
     import tempfile
 
     import fsspec
 
     fs, _, paths = fsspec.get_fs_token_paths(path)
-    local = tempfile.mkdtemp(prefix="ckpt_restore_")
-    fs.get(paths[0], local + "/", recursive=True)
-    inner = Path(local) / Path(paths[0]).name
-    return str(inner if inner.is_dir() else local)
+    # deterministic per-URI cache dir: repeated remote resumes reuse one
+    # snapshot instead of leaking a fresh multi-GB mkdtemp copy each time
+    # (epoch_N snapshot dirs are immutable once written, so reuse is safe)
+    tag = hashlib.sha1(str(path).encode()).hexdigest()[:16]
+    cache = Path(tempfile.gettempdir()) / "cosmos_ckpt_cache" / tag
+    marker = cache / ".complete"
+    if not marker.exists():
+        if cache.exists():          # interrupted prior download
+            shutil.rmtree(cache)
+        cache.mkdir(parents=True)
+        fs.get(paths[0], str(cache) + "/", recursive=True)
+        marker.touch()
+    inner = cache / Path(paths[0]).name
+    return str(inner if inner.is_dir() else cache)
 
 
 def restore_checkpoint(state_template, path: str):

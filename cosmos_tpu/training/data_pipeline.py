@@ -110,6 +110,19 @@ class CsvTrainLoader:
         self.rows = list(zip(ds.images, ds.captions))
         if not self.rows:
             raise ValueError(f"no rows in {csv_path}")
+        # the loop drops the partial batch at pass end; with fewer rows
+        # per host than one batch a full pass yields NOTHING and the
+        # "no readable images" error below would mislead (every image may
+        # decode fine) — name the real constraint up front
+        per_host = len(self.rows) // max(1, cfg.process_count)
+        if per_host < cfg.batch_size:
+            raise ValueError(
+                f"CSV loader: {len(self.rows)} rows across "
+                f"{cfg.process_count} process(es) leaves {per_host} rows "
+                f"per host — fewer than one batch (batch_size="
+                f"{cfg.batch_size}); shrink --batch-size or provide more "
+                "rows"
+            )
         self.tokenizer = SimpleTokenizer(context_length=cfg.context_length)
         self.transform = _train_transform(cfg)
         self._epoch = 0

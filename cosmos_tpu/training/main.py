@@ -318,6 +318,7 @@ def main(argv=None) -> Dict:
         )
     step_cfg = TrainStepConfig(
         frozen=frozen,
+        seed=args.seed,
         cosmos=args.cosmos,
         siglip=args.siglip,
         distill=args.distill,

@@ -314,6 +314,18 @@ def parse_args(args=None):
         parser.error("--distill-model requires --accum-freq 1")
     if "coca" in ns.model.lower() and (ns.cosmos or ns.siglip or ns.distill):
         parser.error("CoCa models train with the CoCa loss only")
+    if "coca" in ns.model.lower() and will_train and ns.use_imagecrop_aug:
+        # the CoCa step trains on single-view batches (crop 0 / caption 0,
+        # train.py coca branch; reference coca recipe uses plain
+        # transforms, coca_model.py:157-191) — multicrop would decode and
+        # H2D-transfer 6 local crops per sample that XLA then DCEs: pure
+        # wasted host work.  Fail loudly instead.
+        parser.error(
+            "--use-imagecrop-aug with a CoCa model: the CoCa caption loss "
+            "trains on single-view batches and would silently discard the "
+            "local crops after paying their decode + transfer cost; drop "
+            "--use-imagecrop-aug (and --local-crops-number)"
+        )
     if ns.pretrained_image:
         parser.error(
             "--pretrained-image downloads timm weights at construction in "

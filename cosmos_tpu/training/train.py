@@ -354,6 +354,12 @@ class TrainStepConfig:
     # subset only (reference: requires_grad=False params simply have no
     # grads) and lets XLA dead-code-eliminate the frozen towers' dW work.
     frozen: Optional[Any] = None
+    # base seed for in-step randomness (patch dropout).  Mirrors the
+    # reference's seed + rank dropout keying (main.py:46-49): the mask
+    # stream is PRNGKey(seed) folded with a domain tag, the step, the
+    # device index and the microbatch — different --seed values draw
+    # different masks, same seed reproduces the run exactly.
+    seed: int = 0
     # per-step grad-norm metric.  OFF by default: the global_norm is a
     # second full read of every gradient leaf plus a scalar reduce baked
     # into each update fusion — measured 218.8 -> 231.8 img/s/chip on v5e
@@ -434,7 +440,10 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
     def _student_rngs(step, micro_idx=None):
         if not patch_drop_active or step is None:
             return {}
-        r = jax.random.fold_in(jax.random.PRNGKey(17), step)
+        # 17 is a domain tag separating the patch-drop stream from other
+        # PRNGKey(seed) consumers (init, last-layer re-init)
+        r = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 17)
+        r = jax.random.fold_in(r, step)
         if axis_name is not None:   # per-device streams under shard_map
             r = jax.random.fold_in(r, jax.lax.axis_index(axis_name))
         if micro_idx is not None:   # per-microbatch streams under accum

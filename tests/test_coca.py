@@ -152,3 +152,11 @@ def test_coca_main_dispatch():
     assert loss.caption_loss_weight == 1.5
     with pytest.raises(SystemExit):
         parse_args(["--model", "coca_ViT-B-32", "--siglip"])
+    # multicrop with CoCa: the step trains on single-view batches, so the
+    # 6 local crops would be decoded + transferred then discarded — the
+    # flag combination must fail at parse time
+    with pytest.raises(SystemExit):
+        parse_args(["--model", "coca_ViT-B-32",
+                    "--train-data", "x.csv", "--use-imagecrop-aug"])
+    # ...but eval-only runs with the flag still parse (no training step)
+    parse_args(["--model", "coca_ViT-B-32", "--use-imagecrop-aug"])

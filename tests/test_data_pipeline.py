@@ -209,3 +209,28 @@ def test_empty_caption_pools_do_not_crash():
     assert default_caption({"caption": ["x", "y"]}) == "x"
     assert default_caption({"raw_caption": [["nested"]]}) == "['nested']"
     assert default_caption({}) == ""
+
+
+def test_csv_loader_rejects_batch_larger_than_host_rows(tmp_path):
+    """When rows-per-host < batch_size a full pass would yield nothing
+    (the loop drops partial batches) and the old path raised a misleading
+    'no readable images' error — the loader must name the real
+    constraint up front."""
+    import csv
+
+    from cosmos_tpu.training.data_pipeline import (
+        CsvTrainLoader,
+        make_train_config,
+    )
+
+    rows = [(f"/nonexistent/im{i}.jpg", f"cap {i}") for i in range(3)]
+    csv_path = tmp_path / "tiny.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["filepath", "title"])
+        w.writerows(rows)
+    args = _args(["--train-data", str(csv_path),
+                  "--train-num-samples", "3", "--batch-size", "2"])
+    cfg = make_train_config(args, process_index=0, process_count=2)
+    with pytest.raises(ValueError, match="batch_size"):
+        CsvTrainLoader(cfg, str(csv_path), "filepath", "title", ",")

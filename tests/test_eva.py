@@ -342,3 +342,24 @@ def test_real_geometries_registered():
                  "eva02_large_patch14_clip_224",
                  "eva02_large_patch14_clip_336"):
         assert name in EVA_CONFIGS
+
+
+def test_antialias_pos_embed_matrix_matches_torch():
+    """_torch_bicubic_aa_matrix reproduces F.interpolate(mode='bicubic',
+    antialias=True) elementwise, up- AND down-scaling — the kernel timm's
+    EVA checkpoint filter uses for abs-pos-embed resampling."""
+    import torch
+    import torch.nn.functional as F
+
+    from cosmos_tpu.models.vit import _torch_bicubic_aa_matrix
+
+    rs = np.random.RandomState(0)
+    for src, dst in [(14, 7), (14, 24), (16, 14), (7, 14)]:
+        x = rs.randn(1, 2, src, src)
+        ref = F.interpolate(
+            torch.tensor(x), size=(dst, dst), mode="bicubic",
+            align_corners=False, antialias=True,
+        ).numpy()
+        m = _torch_bicubic_aa_matrix(src, dst)
+        mine = np.einsum("ah,nchw,bw->ncab", m, x, m)
+        np.testing.assert_allclose(mine, ref, atol=1e-12)

@@ -463,3 +463,28 @@ def test_step_frozen_mask_shrinks_grad_norm_metric():
     full = norm(None)
     masked = norm(frozen_mask(params, lock_image=True))
     assert 0.0 < masked < full
+
+
+def test_patch_dropout_keys_on_seed():
+    """The patch-drop mask stream must key on --seed (reference ties all
+    dropout to seed + rank, main.py:46-49): different seeds draw
+    different masks; the same seed is bit-reproducible."""
+    def loss_with_seed(seed):
+        model, params = create_model(
+            "ViT-B-16", **{**TINY, "force_patch_dropout": 0.5}
+        )
+        mesh = create_mesh(4)
+        opt = create_optimizer(cosine_lr(1e-3, 0, 10), weight_decay=0.0)
+        step = make_train_step(
+            model, opt, mesh, TrainStepConfig(cosmos=False, seed=seed)
+        )
+        state = create_train_state(jax.tree.map(jnp.copy, params), opt)
+        batch = make_batch(jax.random.PRNGKey(3), b=8, k=1)
+        _, m = step(state, batch)
+        return float(m["loss"])
+
+    a = loss_with_seed(0)
+    b = loss_with_seed(0)
+    c = loss_with_seed(1)
+    assert a == b
+    assert abs(a - c) > 1e-7
