@@ -41,6 +41,42 @@ import numpy as np
 # CC3M COSMOS config (not published; derivation in module docstring).
 A100_BASELINE_IMG_PER_SEC_PER_DEV = 185.0
 
+# bf16 dense peak TFLOP/s per chip by device kind (public spec sheets);
+# the MFU denominator.  Unknown kinds report mfu=null rather than guess.
+_PEAK_TFLOPS = (
+    ("v5 lite", 197.0),   # TPU v5e
+    ("v5litepod", 197.0),
+    ("v6 lite", 918.0),   # Trillium
+    ("v6e", 918.0),
+    ("v5p", 459.0),
+    ("v4", 275.0),
+)
+
+
+def _peak_tflops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for tag, peak in _PEAK_TFLOPS:
+        if tag in kind:
+            return peak
+    return None
+
+
+def _step_flops(step_fn, state, batch) -> float | None:
+    """Per-device FLOPs of one compiled train step, from XLA itself
+    (jit(...).lower().compile().cost_analysis(); the Pallas attention
+    kernels contribute through their CostEstimate).  The roofline
+    evidence behind the headline img/s — see README 'perf campaign'."""
+    import sys
+
+    try:
+        ca = step_fn.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception as e:  # cost analysis is best-effort on new backends
+        print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
+        return None
+
 
 def main() -> None:
     from cosmos_tpu.utils import enable_compilation_cache
@@ -143,32 +179,30 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
 
     img_per_sec_per_chip = b / dt / n_dev
-    if input_pipeline:
-        print(
-            json.dumps(
-                {
-                    "metric": "cc3m_pretrain_images_per_sec_per_chip_e2e_input",
-                    "value": round(img_per_sec_per_chip, 2),
-                    "unit": "images/sec/chip",
-                    "vs_baseline": round(
-                        img_per_sec_per_chip / A100_BASELINE_IMG_PER_SEC_PER_DEV, 3
-                    ),
-                }
-            )
-        )
-        return
-    print(
-        json.dumps(
-            {
-                "metric": "cc3m_pretrain_images_per_sec_per_chip",
-                "value": round(img_per_sec_per_chip, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(
-                    img_per_sec_per_chip / A100_BASELINE_IMG_PER_SEC_PER_DEV, 3
-                ),
-            }
-        )
-    )
+
+    # roofline accounting: achieved TFLOP/s and MFU from the COMPILED
+    # step's own cost analysis (per-device SPMD module = per-chip FLOPs)
+    flops = _step_flops(step_fn, state, next_batch(0))
+    peak = _peak_tflops(jax.devices()[0])
+    achieved = round(flops / dt / 1e12, 1) if flops else None
+    mfu = (round(flops / dt / (peak * 1e12), 3)
+           if flops and peak else None)
+
+    record = {
+        "metric": ("cc3m_pretrain_images_per_sec_per_chip_e2e_input"
+                   if input_pipeline
+                   else "cc3m_pretrain_images_per_sec_per_chip"),
+        "value": round(img_per_sec_per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(
+            img_per_sec_per_chip / A100_BASELINE_IMG_PER_SEC_PER_DEV, 3
+        ),
+        "step_tflops_per_chip": round(flops / 1e12, 2) if flops else None,
+        "achieved_tflops_per_sec": achieved,
+        "peak_tflops_per_sec": peak,
+        "mfu": mfu,
+    }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -284,6 +284,23 @@ def supported(num_heads: int, d: int, l: Optional[int] = None,
     return True
 
 
+def _cost(b: int, l: int, d: int, heads: int, itemsize: int,
+          backward: bool) -> pl.CostEstimate:
+    """Advisory cost for the custom call: XLA's scheduler sees it, and
+    compiled.cost_analysis() folds it into the module FLOPs total — so
+    bench.py's MFU accounting includes the attention core instead of
+    counting the kernel as 0 FLOPs.  Forward: QKᵀ + PV = 4·B·L²·D;
+    backward additionally recomputes S and forms dV/dP/dQ/dK =
+    10·B·L²·D.  Transcendentals: one exp per probability entry."""
+    flops = (10 if backward else 4) * b * l * l * d
+    io_arrays = 7 if backward else 4          # qkv(+do) in, d(qkv)/out out
+    return pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=io_arrays * b * l * d * itemsize,
+        transcendentals=b * heads * l * l,
+    )
+
+
 def _resolve_interpret(interpret):
     if interpret is not None:
         return interpret
@@ -368,6 +385,8 @@ def _fa_fwd(qkv, num_heads, causal, interpret):
         out_shape=jax.ShapeDtypeStruct((b, l, d), qkv.dtype),
         interpret=_resolve_interpret(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=_cost(b, l, d, num_heads, qkv.dtype.itemsize,
+                            backward=False),
     )(qkv, qkv, qkv)
     return out, (qkv,)
 
@@ -429,6 +448,8 @@ def _fa_bwd_hg(num_heads, causal, interpret, qkv, g_out):
         ],
         interpret=_resolve_interpret(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=_cost(b, l, d, num_heads, qkv.dtype.itemsize,
+                            backward=True),
     )(qkv, qkv, qkv, g_out)
     return (dqkv,)
 
@@ -454,6 +475,8 @@ def _fa_bwd(num_heads, causal, interpret, res, g_out):
         out_shape=jax.ShapeDtypeStruct((b, l, d3), qkv.dtype),
         interpret=_resolve_interpret(interpret),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=_cost(b, l, d, num_heads, qkv.dtype.itemsize,
+                            backward=True),
     )(qkv, g_out)
     return (dqkv,)
 
