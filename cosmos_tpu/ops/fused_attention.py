@@ -352,6 +352,89 @@ def _fwd_block(batch: int, l: int, w: int, itemsize: int) -> int:
     return 1
 
 
+def _batch_only_sharding(sharding, ndim: int = 3):
+    """Strip any sequence/feature partitioning, keep the batch axes.
+
+    The kernel is independent across batch rows but needs the WHOLE
+    sequence and every head in VMEM — so the SPMD contract is 'shard dim
+    0 however you like, replicate dims 1..'.  Under a (data, model) mesh
+    the partitioner then all-gathers the model-sharded qkv columns in
+    front of the kernel and re-slices afterwards, instead of refusing to
+    partition the custom call (the round-3 use_flash=False guards)."""
+    from jax.sharding import NamedSharding
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = tuple(sharding.spec) if sharding.spec is not None else ()
+    b0 = spec[0] if len(spec) > 0 else None
+    return NamedSharding(sharding.mesh, P(*((b0,) + (None,) * (ndim - 1))))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(num_heads: int, causal: bool, interpret: bool):
+    """custom_partitioning wrapper for the forward kernel: batch-sharded,
+    sequence/feature replicated (see _batch_only_sharding).  Works under
+    plain jit, shard_map (inlined per-device) and GSPMD 2-D meshes —
+    CPU-mesh equality tests in tests/test_tp.py."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(qkv):
+        return _fwd_pallas(qkv, num_heads, causal, interpret)
+
+    fn = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _batch_only_sharding(arg_shapes[0].sharding)
+
+    def prop(mesh, user_shape):
+        return _batch_only_sharding(user_shape.sharding)
+
+    def part(mesh, arg_shapes, result_shape):
+        sh = _batch_only_sharding(arg_shapes[0].sharding)
+        return mesh, impl, sh, (sh,)
+
+    fn.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        propagate_user_sharding=prop,
+        # shardy rule: batch factor passes through; sequence and the
+        # packed/unpacked feature axes must be replicated
+        sharding_rule="b l i -> b l o",
+        need_replication_factors=("l", "i", "o"),
+    )
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(num_heads: int, causal: bool, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(qkv, g_out):
+        return _bwd_pallas(qkv, g_out, num_heads, causal, interpret)
+
+    fn = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _batch_only_sharding(arg_shapes[0].sharding)
+
+    def prop(mesh, user_shape):
+        return _batch_only_sharding(user_shape.sharding)
+
+    def part(mesh, arg_shapes, result_shape):
+        sh = _batch_only_sharding(arg_shapes[0].sharding)
+        return mesh, impl, sh, (sh, _batch_only_sharding(
+            arg_shapes[1].sharding))
+
+    fn.def_partition(
+        partition=part,
+        infer_sharding_from_operands=infer,
+        propagate_user_sharding=prop,
+        sharding_rule="b l i, b l o -> b l i",
+        need_replication_factors=("l", "i", "o"),
+    )
+    return fn
+
+
 def _fa_fwd(qkv, num_heads, causal, interpret):
     b, l, d3 = qkv.shape
     d = d3 // 3
@@ -364,6 +447,14 @@ def _fa_fwd(qkv, num_heads, causal, interpret):
             f"num_heads={num_heads} (need last_dim divisible by 3 and a "
             f"64/128 head dim; see ops.fused_attention.supported)"
         )
+    interp = _resolve_interpret(interpret)
+    out = _fwd_partitioned(num_heads, causal, interp)(qkv)
+    return out, (qkv,)
+
+
+def _fwd_pallas(qkv, num_heads, causal, interpret):
+    b, l, d3 = qkv.shape
+    d = d3 // 3
     dh = d // num_heads
     hg = _head_group(num_heads, dh)
     ng = num_heads // hg
@@ -388,7 +479,7 @@ def _fa_fwd(qkv, num_heads, causal, interpret):
         cost_estimate=_cost(b, l, d, num_heads, qkv.dtype.itemsize,
                             backward=False),
     )(qkv, qkv, qkv)
-    return out, (qkv,)
+    return out
 
 
 # Head-grid backward toggle (see _bwd_kernel_hg).  OFF by default:
@@ -417,7 +508,7 @@ def _bwd_hg_block(batch: int, l: int, w: int, itemsize: int) -> int:
     return 1
 
 
-def _fa_bwd_hg(num_heads, causal, interpret, qkv, g_out):
+def _bwd_pallas_hg(num_heads, causal, interpret, qkv, g_out):
     b, l, d3 = qkv.shape
     d = d3 // 3
     dh = d // num_heads
@@ -451,16 +542,22 @@ def _fa_bwd_hg(num_heads, causal, interpret, qkv, g_out):
         cost_estimate=_cost(b, l, d, num_heads, qkv.dtype.itemsize,
                             backward=True),
     )(qkv, qkv, qkv, g_out)
-    return (dqkv,)
+    return dqkv
 
 
 def _fa_bwd(num_heads, causal, interpret, res, g_out):
     (qkv,) = res
+    interp = _resolve_interpret(interpret)
+    dqkv = _bwd_partitioned(num_heads, causal, interp)(qkv, g_out)
+    return (dqkv,)
+
+
+def _bwd_pallas(qkv, g_out, num_heads, causal, interpret):
     b, l, d3 = qkv.shape
     d = d3 // 3
     dh = d // num_heads
     if BWD_HEAD_GRID:
-        return _fa_bwd_hg(num_heads, causal, interpret, qkv, g_out)
+        return _bwd_pallas_hg(num_heads, causal, interpret, qkv, g_out)
     blk = _pick_block(b, l, d, dh, qkv.dtype.itemsize, backward=True)
     spec3 = pl.BlockSpec((blk, l, d3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -478,7 +575,7 @@ def _fa_bwd(num_heads, causal, interpret, res, g_out):
         cost_estimate=_cost(b, l, d, num_heads, qkv.dtype.itemsize,
                             backward=True),
     )(qkv, g_out)
-    return (dqkv,)
+    return dqkv
 
 
 fused_attention_qkv.defvjp(_fa_fwd, _fa_bwd)

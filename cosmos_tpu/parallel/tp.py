@@ -18,10 +18,13 @@ Caveats, stated honestly:
     partitioner re-shards around the head reshape.  Correctness is
     GSPMD-guaranteed either way; peak efficiency on a real pod may want
     head-aligned sharding (tp dividing num_heads).
-  - The Pallas fused-attention kernel is a custom call the partitioner
-    cannot split, so TP encoders build/apply the model with
-    ``use_flash=False`` (the XLA attention formulation partitions
-    cleanly).  Training stays on the 1-D data mesh + shard_map path.
+  - The Pallas fused-attention kernel IS partitionable (round 4): it is
+    wrapped in jax.experimental.custom_partitioning with a batch-sharded
+    / feature-replicated contract, so under a real model axis the
+    partitioner all-gathers the qkv columns in front of the kernel and
+    keeps the batch sharding through it (ops/fused_attention.py
+    ``_fwd_partitioned``).  TP encoders and the GSPMD train step
+    therefore keep the kernel — no ``use_flash=False`` required.
 """
 
 from __future__ import annotations
@@ -100,18 +103,6 @@ def make_tp_encoders(model, params, mesh: Mesh) -> Tuple[Any, Any, Any]:
     encoders with weights tensor-parallel over 'model' and the batch over
     'data'.  The model must expose encode_image/encode_text (CLIP surface).
     """
-    uf = getattr(model, "use_flash", None)
-    flash_engages = uf is True or (
-        uf is None and jax.default_backend() in ("tpu", "axon")
-    )  # mirror MultiheadAttention's tri-state resolution
-    if mesh.shape.get(MODEL_AXIS, 1) > 1 and flash_engages:
-        raise ValueError(
-            "tensor-parallel encoders need the XLA attention formulation: "
-            "build the model with use_flash=False (the Pallas fused-"
-            "attention kernel is a custom call the XLA partitioner cannot "
-            "split; on TPU the default use_flash=None resolves to the "
-            "kernel and would silently defeat the model-axis sharding)"
-        )
     param_shardings = tp_param_shardings(params, mesh)
     sharded = jax.tree.map(jax.device_put, params, param_shardings)
     batch_in = NamedSharding(mesh, P(DATA_AXIS))

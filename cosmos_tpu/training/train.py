@@ -808,13 +808,12 @@ def make_train_step_gspmd(
 
     Constraints (validated): cfg.local_loss and the SigLIP ppermute ring
     are per-device concepts that need the 1-D shard_map step;
-    accum_freq must be 1; a real model axis needs use_flash=False (the
-    Pallas attention kernel is a custom call the partitioner cannot
-    split).  Pair with create_train_state_gspmd and
-    parallel.mesh.shard_batch over the same mesh.
+    accum_freq must be 1.  The Pallas attention kernel is fine under a
+    real model axis: its custom_partitioning wrapper keeps the batch
+    sharding and re-gathers the feature columns (parallel/tp.py notes).
+    Pair with create_train_state_gspmd and parallel.mesh.shard_batch
+    over the same mesh.
     """
-    from cosmos_tpu.parallel.tp import MODEL_AXIS
-
     if cfg.siglip:
         raise ValueError(
             "siglip's ppermute ring needs the 1-D shard_map step")
@@ -824,14 +823,6 @@ def make_train_step_gspmd(
             "global logits — leave it False")
     if cfg.accum_freq > 1:
         raise ValueError("accum_freq > 1 unsupported in the GSPMD step")
-    uf = getattr(model, "use_flash", None)
-    if mesh.shape.get(MODEL_AXIS, 1) > 1 and (
-        uf is True
-        or (uf is None and jax.default_backend() in ("tpu", "axon"))
-    ):
-        raise ValueError(
-            "model-axis sharding needs use_flash=False — the Pallas "
-            "attention kernel is unpartitionable (see parallel/tp.py)")
 
     _step = _build_step(model, optimizer, cfg, dist_model, None)
     if cfg.distill:

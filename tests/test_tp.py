@@ -247,3 +247,158 @@ def test_tp_encoders_accept_uneven_batches(model_and_data):
     got_t = np.asarray(enc_text(sharded, texts[:7]))
     assert got_t.shape[0] == 7
     np.testing.assert_allclose(got_t, ref_txt[:7], atol=2e-5, rtol=1e-4)
+
+
+# round-4: the Pallas kernel is custom_partitioning-wrapped, so the TP
+# paths keep it instead of mandating use_flash=False.  Kernel-supported
+# geometry (head dim 64) so the packed-QKV path actually engages; the
+# _fwd_pallas spy proves it ran rather than silently falling back.
+KERNEL_TINY = dict(
+    TINY,
+    vision_width=128,
+    vision_head_width=64,
+    text_width=128,
+    text_heads=2,
+)
+
+
+def _spy_fwd_pallas(monkeypatch):
+    import cosmos_tpu.ops.fused_attention as fa
+
+    calls = []
+    orig = fa._fwd_pallas
+
+    def spy(*a, **k):
+        calls.append(a[0].shape)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fa, "_fwd_pallas", spy)
+    return calls
+
+
+def test_tp_encoders_keep_fused_kernel(monkeypatch):
+    """TP serving with use_flash=True: the (2,4)-mesh encoders match the
+    unsharded flash forward (same formulation, so tight tolerance) and
+    the kernel demonstrably executes under the model axis."""
+    model, params = create_model("ViT-B-16", use_flash=True, **KERNEL_TINY)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
+    texts = jnp.asarray(rng.integers(1, 127, size=(8, 12)), jnp.int32)
+    ref_img = model.apply({"params": params}, images, True,
+                          method=model.encode_image)["image_features"]
+    ref_txt = model.apply({"params": params}, texts, True,
+                          method=model.encode_text)["text_features"]
+
+    calls = _spy_fwd_pallas(monkeypatch)
+    mesh = create_tp_mesh(2, 4)
+    sharded, enc_image, enc_text = make_tp_encoders(model, params, mesh)
+    got_img = np.asarray(enc_image(sharded, images))
+    got_txt = np.asarray(enc_text(sharded, texts))
+    assert calls, "fused kernel did not engage under the TP mesh"
+    np.testing.assert_allclose(got_img, np.asarray(ref_img),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(got_txt, np.asarray(ref_txt),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_gspmd_train_step_keeps_fused_kernel(monkeypatch):
+    """The GSPMD (2,4) TP train step with use_flash=True matches the 1-D
+    shard_map step with the same kernel: the custom_vjp fwd AND bwd
+    custom calls partition over the batch axis."""
+    import jax.numpy as jnp
+
+    from cosmos_tpu.parallel.mesh import create_mesh, shard_batch
+    from cosmos_tpu.training.scheduler import cosine_lr
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state,
+        create_train_state_gspmd,
+        make_train_step,
+        make_train_step_gspmd,
+    )
+
+    model, params = create_model(
+        "ViT-B-16", cosmos=True, output_all=True, attentional_pool=True,
+        add_zero_attn=True, use_flash=True, **KERNEL_TINY,
+    )
+    lr = cosine_lr(1e-3, 2, 10)
+    cfg = TrainStepConfig(cosmos=True, lr_schedule=lr)
+    batch = _cosmos_batch(8)
+
+    mesh1 = create_mesh(8)
+    opt = create_optimizer(lr, weight_decay=0.1)
+    step1 = make_train_step(model, opt, mesh1, cfg)
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), opt, mesh1)
+    s1, m1 = step1(s1, shard_batch(batch, mesh1, batch_axis=1))
+
+    calls = _spy_fwd_pallas(monkeypatch)
+    mesh2 = create_tp_mesh(2, 4)
+    opt2 = create_optimizer(lr, weight_decay=0.1)
+    step2 = make_train_step_gspmd(model, opt2, mesh2, cfg)
+    s2 = create_train_state_gspmd(jax.tree.map(jnp.copy, params), opt2, mesh2)
+    b2 = jax.tree.map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(
+                mesh2, jax.sharding.PartitionSpec(None, "data"))),
+        batch)
+    s2, m2 = step2(s2, b2)
+    assert calls, "fused kernel did not engage in the GSPMD step"
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    got = np.asarray(jax.device_get(
+        s2.params["visual"]["transformer"]["resblocks_0"]["mlp"]
+        ["c_fc"]["kernel"]))
+    want = np.asarray(jax.device_get(
+        s1.params["visual"]["transformer"]["resblocks_0"]["mlp"]
+        ["c_fc"]["kernel"]))
+    # looser than the XLA-path twin test: the kernel picks its batch
+    # block from the LOCAL batch (1 row/device under shard_map, 4 under
+    # the (2,4) mesh), so f32 reduction order differs by ~1e-7 and Adam's
+    # 1/(sqrt(v)+eps) normalization amplifies that to ~1e-5 in the first
+    # update.  Loss above is bit-equal.
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_tp_eva_clip_with_kernel(monkeypatch):
+    """EVA02-trunk CLIP under TP with the kernel ON: the EVA vision tower
+    partitions natively (separate-q/kv XLA attention) while the text
+    tower's packed kernel rides the custom_partitioning wrapper — the
+    big-tower serving case the round-3 guard forced onto the slow path."""
+    from cosmos_tpu.models.eva import register_eva
+
+    # width 48 -> SwiGLU hidden int(8/3*48) = 128, divisible by tp=4
+    # (real EVA02 hiddens are 128-multiples; width 32's hidden 85 is not)
+    register_eva("eva02_tp_kernel_test", patch_size=8, width=48, layers=1,
+                 heads=2, scale_mlp=True, scale_attn=True, image_size=16)
+    model, params = create_model(
+        "ViT-Tiny-Test",
+        vision_timm_model_name="eva02_tp_kernel_test",
+        vision_timm_pool="token",
+        vision_timm_proj="linear",
+        vision_image_size=16,
+        text_width=128,
+        text_heads=2,
+        use_flash=True,
+    )
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.normal(size=(8, 16, 16, 3)), jnp.float32)
+    ctx = model.cfg.text_cfg.context_length
+    texts = jnp.asarray(
+        rng.integers(1, model.cfg.text_cfg.vocab_size - 1, size=(8, ctx)),
+        jnp.int32)
+    ref_img = model.apply({"params": params}, images, True,
+                          method=model.encode_image)["image_features"]
+    ref_txt = model.apply({"params": params}, texts, True,
+                          method=model.encode_text)["text_features"]
+
+    calls = _spy_fwd_pallas(monkeypatch)
+    mesh = create_tp_mesh(2, 4)
+    sharded, enc_image, enc_text = make_tp_encoders(model, params, mesh)
+    got_img = np.asarray(enc_image(sharded, images))
+    got_txt = np.asarray(enc_text(sharded, texts))
+    assert calls, "text-tower kernel did not engage under the TP mesh"
+    np.testing.assert_allclose(got_img, np.asarray(ref_img),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(got_txt, np.asarray(ref_txt),
+                               atol=2e-5, rtol=1e-4)

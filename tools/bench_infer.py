@@ -8,9 +8,9 @@ Usage: python tools/bench_infer.py [model] [batch] [--int8] [--tp N]
 
 --tp N serves tensor-parallel over an (n_devices/N, N) 2-D mesh
 (parallel/tp.py: Megatron-style column/row-parallel weight placement,
-collectives inserted by the XLA partitioner).  Needs N devices; the XLA
-attention path is used (the Pallas kernel is a custom call the
-partitioner cannot split).
+collectives inserted by the XLA partitioner).  Needs N devices.  The
+Pallas attention kernel stays ON: its custom_partitioning wrapper keeps
+the batch sharding and re-gathers the feature columns around the call.
 
 --int8 serves from weight-only int8-compressed params (the reference's
 bitsandbytes replace_linear analog, utils.py:66-88): every large Dense
@@ -46,10 +46,9 @@ def main():
     use_int8 = "--int8" in args
     name = argv[0] if len(argv) > 0 else "ViT-B-16"
     b = int(argv[1]) if len(argv) > 1 else 256
-    model_kwargs = {}
-    if tp > 1:
-        model_kwargs["use_flash"] = False   # partitioner-splittable attn
-    model, params = create_model(name, precision="bf16", **model_kwargs)
+    # the fused-attention kernel is custom_partitioning-wrapped, so TP
+    # serving keeps it (batch-sharded, feature columns re-gathered)
+    model, params = create_model(name, precision="bf16")
 
     if use_int8 and tp > 1:
         raise SystemExit("--int8 and --tp are mutually exclusive")
