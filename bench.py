@@ -95,6 +95,13 @@ def main() -> None:
     n_dev = len(jax.devices())
     mesh = create_mesh(n_dev)
 
+    import os
+
+    # length-bucketed text tower (--text-bucket 32): the 6 textcrop local
+    # caption views are single sentences, so the shortest 3/4 of the
+    # non-global views run at L=32 instead of padding to 77.
+    # Mathematically exact (models/clip.py); BENCH_TEXT_BUCKET=0 for A/B.
+    text_bucket = int(os.environ.get("BENCH_TEXT_BUCKET", "32"))
     model, params = create_model(
         "ViT-B-16",
         precision="bf16",
@@ -103,6 +110,7 @@ def main() -> None:
         attentional_pool=True,
         add_zero_attn=True,
         act_approx=True,  # tanh GELU: pretraining benchmark (see --gelu-approx)
+        text_bucket=text_bucket,
     )
     lr = cosine_lr(5e-4, 2000, 100000)
     optimizer = create_optimizer(
@@ -119,7 +127,6 @@ def main() -> None:
     step_fn = make_train_step(model, optimizer, mesh, cfg)
     state = create_train_state(params, optimizer, mesh)
 
-    import os
     import sys
     b = int(os.environ.get("BENCH_BATCH", "48")) * n_dev
     # reference per-device batch is 64 (train_cc3m.sh:36); this framework is
@@ -127,6 +134,29 @@ def main() -> None:
     # the metric tracks.  Measured on v5e: B=32 -> 223, B=48 -> 225.5,
     # B=64 -> 220, B=80 -> ~120 img/s/chip (HBM-pressure cliff past 64).
     rng = np.random.default_rng(0)
+
+    def make_texts(size):
+        """Synthetic captions with the CC3M-recap textcrop length profile
+        (data/caption.py): views 0-1 are the long recap globals (EOT in
+        the top quarter of the 77-token context), views 2+ are
+        single-sentence locals (EOT at 8..24).  Token ids stay below the
+        EOT id so argmax-EOT pooling sees real caption geometry — flat
+        random tokens would put EOT anywhere and understate/overstate
+        the bucketed tower on a workload that never occurs."""
+        k_, b_, L = size
+        toks = np.zeros(size, dtype=np.int32)
+        toks[..., 0] = 49406                       # SOT
+        eots = np.where(
+            (np.arange(k_) < 2)[:, None],
+            rng.integers(58, L, size=(k_, b_)),    # long recap globals
+            rng.integers(8, 25, size=(k_, b_)),    # single-sentence locals
+        )
+        body = rng.integers(1, 49406, size=size)
+        pos = np.arange(L)
+        toks = np.where(pos < eots[..., None], np.where(pos == 0, toks, body), 0)
+        np.put_along_axis(toks, eots[..., None], 49407, axis=-1)
+        return toks.astype(np.int32)
+
     # --input-pipeline: measure the END-TO-END input path too — fresh
     # uint8 host batches (the loader's wire format) re-shard_batch'd every
     # step, so per-step H2D transfer + the fused on-device
@@ -143,17 +173,33 @@ def main() -> None:
                     0, 256, size=(2, b, 224, 224, 3)).astype(np.uint8),
                 "local_images": rng.integers(
                     0, 256, size=(6, b, 96, 96, 3)).astype(np.uint8),
-                "texts": rng.integers(
-                    1, 49407, size=(8, b, 77)).astype(np.int32),
+                "texts": make_texts((8, b, 77)),
             })
 
-        def next_batch(i):
-            return shard_batch(pool[i % len(pool)], mesh, batch_axis=1)
+        # depth-2 device prefetch (data/prefetch.py, --prefetch-depth):
+        # a producer thread issues the next batches' shard_batch/H2D while
+        # the current step runs — the training input path.
+        # BENCH_PREFETCH=0 for the serialized A/B.
+        if int(os.environ.get("BENCH_PREFETCH", "2")):
+            import itertools
+
+            from cosmos_tpu.data.prefetch import DevicePrefetcher
+
+            src = (shard_batch(pool[j % len(pool)], mesh, batch_axis=1)
+                   for j in itertools.count())
+            pf = DevicePrefetcher(
+                src, depth=int(os.environ.get("BENCH_PREFETCH", "2")))
+
+            def next_batch(i):
+                return next(pf)
+        else:
+            def next_batch(i):
+                return shard_batch(pool[i % len(pool)], mesh, batch_axis=1)
     else:
         batch = {
             "global_images": rng.normal(size=(2, b, 224, 224, 3)).astype(np.float32),
             "local_images": rng.normal(size=(6, b, 96, 96, 3)).astype(np.float32),
-            "texts": rng.integers(1, 49407, size=(8, b, 77)).astype(np.int32),
+            "texts": make_texts((8, b, 77)),
         }
         batch = shard_batch(batch, mesh, batch_axis=1)
 

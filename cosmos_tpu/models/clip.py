@@ -54,6 +54,19 @@ class CLIP(nn.Module):
     use_flash: Optional[bool] = None   # None = auto: fused kernel on TPU
     act_approx: bool = False   # tanh GELU (faster; tiny numeric deviation)
     fuse_ln: bool = False      # fused LN->matmul Pallas path in the blocks
+    # length-bucketed text tower for the COSMOS training forward (> 0 =
+    # short-bucket length, e.g. 32).  textcrop local captions are single
+    # sentences, so most of the k x B caption views waste 77-token padding
+    # FLOPs; the caption views past the 2 globals are EOT-sorted and the
+    # shortest 3/4 run at this length when they fit (lax.cond falls back
+    # to the full length otherwise).  Mathematically exact: under the
+    # causal mask + argmax-EOT pooling, tokens past a caption's EOT
+    # cannot reach its pooled feature, and truncation at >= eot+1
+    # preserves the argmax (dropped values are never larger).  Floats
+    # agree to reassociation noise only (~1e-7: splitting the batch
+    # changes GEMM shapes, hence XLA reduction blocking).
+    # See _bucketed_text_pooled.
+    text_bucket: int = 0
 
     def setup(self):
         c = self.cfg
@@ -241,6 +254,48 @@ class CLIP(nn.Module):
 
     # --- full forward ------------------------------------------------------
 
+    def _bucketed_text_pooled(self, toks: jax.Array,
+                              l_short: int) -> jax.Array:
+        """Pooled text features for caption views that need no token
+        outputs, with the shortest 3/4 run at ``l_short`` when every one
+        of them fits (row order of ``toks`` preserved).
+
+        Exact by construction: truncating a caption at >= eot+1 keeps its
+        argmax-EOT position (dropped trailing values are never larger
+        than the max) and, under the causal mask, positions <= eot attend
+        only to positions <= eot — so the pooled feature equals the
+        full-length forward (up to float reassociation, since the GEMM
+        shapes change).  A batch whose sorted short bucket does
+        NOT fit falls back to the full length via nn.cond (same values,
+        one branch executed on device)."""
+        n = toks.shape[0]
+        eot = jnp.argmax(toks, axis=-1).astype(jnp.int32)
+        order = jnp.argsort(eot)                       # stable
+        ns = (n * 3) // 4
+        short_idx, long_idx = order[:ns], order[ns:]
+        # sorted ascending: the short bucket's max EOT is its last entry
+        fits = eot[short_idx[-1]] + 1 <= l_short
+        short_toks = jnp.take(toks, short_idx, axis=0)
+
+        # remat the branches: lax.cond's AD stores the UNION of both
+        # branches' residuals (zero-filled for the untaken one), which
+        # costs MORE activation memory than the unbucketed forward (OOM
+        # at batch 48 on v5e, 19.6G vs 15.75G HBM).  Rematting collapses
+        # the cond residuals to the operands; the short-bucket text
+        # forward is recomputed in the backward (~2% of step FLOPs).
+        def _trunc(mdl, t):
+            return mdl.text(t[:, :l_short])[0]
+
+        def _full(mdl, t):
+            return mdl.text(t)[0]
+
+        f_short = nn.cond(fits, nn.remat(_trunc), nn.remat(_full),
+                          self, short_toks)
+        f_long = self.text(jnp.take(toks, long_idx, axis=0))[0]
+        feats = jnp.concatenate([f_short, f_long], axis=0)
+        inv = jnp.argsort(order)                       # undo the sort
+        return jnp.take(feats, inv, axis=0)
+
     def __call__(
         self,
         global_images: Optional[jax.Array] = None,   # [2B, H, W, 3] views-major
@@ -278,8 +333,33 @@ class CLIP(nn.Module):
 
         txt_features = txt_tokens = None
         if texts is not None:
-            txt_features, t_tokens = self.text(texts)
+            b_ = batch_size if batch_size is not None else 0
+            bucket = (
+                self.text_bucket > 0
+                and b_ > 0
+                # globals (views 0-1: teacher targets + the pooler's token
+                # context) stay full-length; need >= 1 extra view to bucket
+                and texts.shape[0] >= 3 * b_
+                and texts.shape[0] % b_ == 0
+                and self.text_bucket < texts.shape[1]
+                # the exactness argument needs causal attention + argmax
+                # pooling — the native tower's semantics
+                and not self.cfg.text_cfg.hf_model_name
+                and not self.cfg.text_cfg.embed_cls
+                and texts.shape[0] - 2 * b_ >= 4
+            )
+            if bucket:
+                head, rest = texts[: 2 * b_], texts[2 * b_:]
+                head_features, t_tokens = self.text(head)
+                rest_features = self._bucketed_text_pooled(
+                    rest, self.text_bucket)
+                txt_features = jnp.concatenate(
+                    [head_features, rest_features], axis=0)
+            else:
+                txt_features, t_tokens = self.text(texts)
             if self.output_all:
+                # bucketed: token features exist for the 2 global views
+                # only — all any consumer reads (the pooler uses [:B])
                 txt_tokens = self.text_token_mapping(t_tokens)
             if is_norm:
                 txt_features = l2_normalize(txt_features)

@@ -54,6 +54,7 @@ def create_model(
     use_flash: Optional[bool] = None,
     act_approx: bool = False,
     fuse_ln: bool = False,
+    text_bucket: int = 0,
     force_quick_gelu: bool = False,
     force_patch_dropout: Optional[float] = None,
     force_image_size: Optional[int] = None,
@@ -108,6 +109,7 @@ def create_model(
             use_flash=use_flash,
             act_approx=act_approx,
             fuse_ln=fuse_ln,
+            text_bucket=text_bucket,
         )
     params = None
     if init_params:

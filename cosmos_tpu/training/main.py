@@ -182,6 +182,7 @@ def main(argv=None) -> Dict:
         # XLA softmax path, 'auto' (None) picks by backend
         use_flash={"auto": None, "on": True, "off": False}[args.flash_attention],
         act_approx=args.gelu_approx,
+        text_bucket=args.text_bucket,
         force_quick_gelu=args.force_quick_gelu,
         force_patch_dropout=args.force_patch_dropout,
         force_image_size=args.force_image_size,
@@ -582,6 +583,29 @@ def train_one_epoch(
     # exactly when the input pipeline is the bottleneck, masking the
     # data-bound regime the meter exists to diagnose
     samples_per_step = global_batch * max(1, args.accum_freq)
+
+    def _device_batches():
+        """Assemble + shard (device_put) each batch; run by the prefetch
+        thread so the H2D leg overlaps the current step's device time
+        (the TPU-native stand-in for torch's pinned-memory async H2D)."""
+        for _ in range(steps_per_epoch):
+            if args.accum_freq > 1:
+                micro = [next(loader_iter) for _ in range(args.accum_freq)]
+                mb = {
+                    k: _np.stack([m[k] for m in micro]) for k in micro[0]
+                }
+                yield shard_batch_fn(mb, mesh, batch_axis=2)
+            else:
+                yield shard_batch_fn(next(loader_iter), mesh, batch_axis=1)
+
+    depth = max(0, getattr(args, "prefetch_depth", 2))
+    if depth:
+        from cosmos_tpu.data.prefetch import DevicePrefetcher
+
+        batch_iter = DevicePrefetcher(_device_batches(), depth=depth)
+    else:
+        batch_iter = _device_batches()
+
     t_end = time.perf_counter()
     t_window, steps_in_window = t_end, 0
     profile_remaining = getattr(args, "profile_steps", 0)
@@ -596,15 +620,7 @@ def train_one_epoch(
                 pass
             args.profile_steps = 0
             profile_remaining = 0
-        if args.accum_freq > 1:
-            micro = [next(loader_iter) for _ in range(args.accum_freq)]
-            batch = {
-                k: _np.stack([m[k] for m in micro]) for k in micro[0]
-            }
-            batch = shard_batch_fn(batch, mesh, batch_axis=2)
-        else:
-            batch = next(loader_iter)
-            batch = shard_batch_fn(batch, mesh, batch_axis=1)
+        batch = next(batch_iter)
         t_data = time.perf_counter()
         data_time += t_data - t_end
         state, m = step_fn(state, batch)

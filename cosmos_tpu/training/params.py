@@ -142,6 +142,14 @@ def parse_args(args=None):
     add("--gelu-approx", action="store_true", default=False,
         help="tanh-approximated GELU (~23%% faster step on v5e; "
              "negligible numeric deviation — for from-scratch training)")
+    add("--text-bucket", type=int, default=0,
+        help="length-bucketed text tower for COSMOS training (>0 = short "
+             "bucket length, e.g. 32): EOT-sorts the caption views past "
+             "the 2 globals and runs the shortest 3/4 at this length when "
+             "they fit. Mathematically exact under causal masking + "
+             "argmax-EOT pooling (see models/clip.py); cuts the padding "
+             "FLOPs the reference pays at context 77 for single-sentence "
+             "textcrop captions")
 
     # model
     add("--model", type=str, default="ViT-B-16")
@@ -256,12 +264,19 @@ def parse_args(args=None):
              "into <logs>/<name>/profile (SURVEY §5: the TPU-native "
              "replacement for the reference's missing kineto traces)")
 
+    add("--prefetch-depth", type=int, default=2,
+        help="device-input prefetch depth (data/prefetch.py): a producer "
+             "thread assembles + device_puts the next N batches so H2D "
+             "overlaps the step (torch pin_memory/non_blocking analog); "
+             "0 disables")
+
     # TPU / mesh
     add("--mesh-shape", type=str, default=None,
         help="'N' = 1-D data mesh over N devices (default: all devices); "
              "'dp,tp' = 2-D (data, model) mesh — GSPMD tensor-parallel "
-             "training with Megatron-style weight placement (needs "
-             "--flash-attention off; see parallel/tp.py)")
+             "training with Megatron-style weight placement; the fused "
+             "attention kernel stays on (custom_partitioning, see "
+             "parallel/tp.py)")
     add("--coordinator-address", type=str, default=None)
     add("--num-processes", type=int, default=None)
     add("--process-id", type=int, default=None)

@@ -226,3 +226,62 @@ def test_sincos_pos_embed_is_frozen():
     params = vt.init(jax.random.PRNGKey(0),
                      jnp.zeros((1, 16, 16, 3)))["params"]
     assert "positional_embedding" not in params
+
+
+def test_text_bucket_exact_vs_full():
+    """text_bucket forward == unbucketed forward up to float
+    reassociation (~1e-7 abs): truncating a caption at >= eot+1
+    preserves its argmax-EOT pooled feature under the causal mask, and
+    the sort/scatter is a permutation round trip.  Splitting the batch
+    changes GEMM shapes, so XLA's reduction blocking differs — the math
+    is exact, the floats agree to reassociation noise only.
+    Covers both the fits-fast-path and the cond fallback."""
+    kw = dict(TINY, cosmos=True, output_all=True, attentional_pool=True,
+              add_zero_attn=True)
+    model0, params = create_model("ViT-B-16", **kw)
+    model1, _ = create_model("ViT-B-16", text_bucket=8, init_params=False,
+                             **kw)
+
+    b, k, L = 4, 4, TINY["text_context_length"]
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(2 * b, 16, 16, 3)).astype("float32")
+
+    def toks_with_eots(eots):
+        t = np.zeros((len(eots), L), dtype="int32")
+        for i, e in enumerate(eots):
+            n = e - 1
+            t[i, 0] = 2                              # sot-ish
+            t[i, 1:n + 1] = rng.integers(3, 120, n)  # body
+            t[i, e] = 127                            # eot = max id
+        return t
+
+    # globals long; local views short (fit the 8-token bucket)
+    eots = [L - 1, L - 2] * b + list(rng.integers(2, 8, (k - 2) * b))
+    texts = toks_with_eots(eots)
+
+    out0 = model0.apply({"params": params}, g, texts, batch_size=b)
+    out1 = model1.apply({"params": params}, g, texts, batch_size=b)
+    np.testing.assert_allclose(
+        np.asarray(out0["text_features"]), np.asarray(out1["text_features"]),
+        atol=2e-6, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out0["txt_crossmodal_features"]),
+        np.asarray(out1["txt_crossmodal_features"]), atol=2e-6, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out0["img_crossmodal_features"]),
+        np.asarray(out1["img_crossmodal_features"]), atol=2e-6, rtol=2e-3)
+
+    # one local caption too long for the bucket -> cond fallback, still exact
+    eots_long = list(eots)
+    eots_long[2 * b + 1] = L - 1
+    texts2 = toks_with_eots(eots_long)
+    out0b = model0.apply({"params": params}, g, texts2, batch_size=b)
+    out1b = model1.apply({"params": params}, g, texts2, batch_size=b)
+    np.testing.assert_allclose(
+        np.asarray(out0b["text_features"]),
+        np.asarray(out1b["text_features"]), atol=2e-6, rtol=2e-3)
+
+    # teacher/eval forward (batch_size=None) never buckets: text_tokens
+    # keep full k*B rows there
+    out_ev = model1.apply({"params": params}, g, texts)
+    assert out_ev["text_features"].shape[0] == k * b

@@ -1,0 +1,57 @@
+"""DevicePrefetcher: ordering, exhaustion, and exception propagation."""
+
+import time
+
+import pytest
+
+from cosmos_tpu.data.prefetch import DevicePrefetcher
+
+
+def test_preserves_order_and_exhausts():
+    out = list(DevicePrefetcher(iter(range(17)), depth=2))
+    assert out == list(range(17))
+    # exhausted iterator keeps raising StopIteration
+    p = DevicePrefetcher(iter([1]), depth=2)
+    assert next(p) == 1
+    with pytest.raises(StopIteration):
+        next(p)
+    with pytest.raises(StopIteration):
+        next(p)
+
+
+def test_source_exception_reraises_in_consumer():
+    def src():
+        yield 1
+        yield 2
+        raise RuntimeError("dead worker")
+
+    p = DevicePrefetcher(src(), depth=2)
+    assert next(p) == 1
+    assert next(p) == 2
+    with pytest.raises(RuntimeError, match="dead worker"):
+        next(p)
+
+
+def test_runs_ahead_of_consumer():
+    """The producer fills the queue while the consumer is idle: after a
+    pause, depth items must already be buffered (the H2D-overlap
+    property, minus the device)."""
+    produced = []
+
+    def src():
+        for i in range(6):
+            produced.append(i)
+            yield i
+
+    p = DevicePrefetcher(src(), depth=3)
+    deadline = time.monotonic() + 5.0
+    # producer thread should buffer depth items + hold one pending put
+    while len(produced) < 3 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert len(produced) >= 3
+    assert list(p) == list(range(6))
+
+
+def test_depth_validation():
+    with pytest.raises(ValueError):
+        DevicePrefetcher(iter([]), depth=0)
