@@ -142,7 +142,7 @@ class MultiheadAttention(nn.Module):
 
         if ln is not None:
             assert kv is None, "fused LN->QKV is a self-attention path"
-            from cosmos_tpu.ops.ln_matmul import ln_matmul
+            from cosmos_tpu.ops.experimental.ln_matmul import ln_matmul
 
             qkv = ln_matmul(xc, ln[0], ln[1], kernel, bias)
         elif kv is None:

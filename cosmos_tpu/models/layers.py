@@ -25,7 +25,7 @@ from flax import linen as nn
 Dtype = Any
 
 
-# Toggle for the single-pass Pallas LN kernel (ops/layer_norm).  OFF by
+# Toggle for the single-pass Pallas LN kernel (ops/experimental/layer_norm).  OFF by
 # default: standalone the kernel streams at ~660 GB/s vs ~190 for XLA's
 # two-pass lowering, but in the full train step it LOSES (228 -> 211
 # img/s/chip measured) — the custom-call boundary breaks XLA's fusion of
@@ -33,7 +33,7 @@ Dtype = Any
 # Kept for inference/serving graphs and as a measured negative result.
 FUSED_LN: bool = False
 
-# Toggle for the HYBRID LN (ops/layer_norm.hybrid_layer_norm): forward
+# Toggle for the HYBRID LN (ops/experimental/layer_norm.hybrid_layer_norm): forward
 # stays plain jnp (same XLA fusions as the default path — no custom-call
 # boundary), only the BACKWARD runs as a Pallas kernel.  OFF by default:
 # measured 218.8 -> 208.4 img/s/chip on v5e.  The trace shows why — the
@@ -57,7 +57,7 @@ def _hybrid_ln_active(x) -> bool:
 
     if _jax.default_backend() not in ("tpu", "axon"):
         return False
-    from cosmos_tpu.ops import layer_norm as fln
+    from cosmos_tpu.ops.experimental import layer_norm as fln
 
     return fln.supported(x)
 
@@ -72,7 +72,7 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.use_scale and self.use_bias and FUSED_LN:
-            from cosmos_tpu.ops import layer_norm as fln
+            from cosmos_tpu.ops.experimental import layer_norm as fln
 
             if fln.supported(x):
                 dim = x.shape[-1]
@@ -82,7 +82,7 @@ class LayerNorm(nn.Module):
                     "bias", nn.initializers.zeros, (dim,), jnp.float32)
                 return fln.fused_layer_norm(x, scale, bias, self.epsilon)
         if self.use_scale and self.use_bias and _hybrid_ln_active(x):
-            from cosmos_tpu.ops import layer_norm as fln
+            from cosmos_tpu.ops.experimental import layer_norm as fln
 
             dim = x.shape[-1]
             scale = self.param(
@@ -114,7 +114,7 @@ class LayerNorm(nn.Module):
 
 class LayerNormParams(nn.Module):
     """Declares LN scale/bias at this scope WITHOUT applying them — used by
-    the fused LN->matmul path (cosmos_tpu.ops.ln_matmul), which consumes the
+    the fused LN->matmul path (cosmos_tpu.ops.experimental.ln_matmul), which consumes the
     raw params.  Same param tree layout as LayerNorm."""
 
     @nn.compact
@@ -205,11 +205,11 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, ln=None) -> jax.Array:
         """ln=(scale, bias): run the whole LN -> c_fc -> act -> c_proj
-        chain as ONE fused kernel (ops.mlp_block) — x is then the
+        chain as ONE fused kernel (ops.experimental.mlp_block) — x is then the
         UN-normalized input and the [R, hidden] activation never exists
         in HBM."""
         if ln is not None:
-            from cosmos_tpu.ops.mlp_block import mlp_block
+            from cosmos_tpu.ops.experimental.mlp_block import mlp_block
 
             k1, b1 = DenseParams(self.hidden_dim, name="c_fc")(x.shape[-1])
             k2, b2 = DenseParams(self.out_dim, name="c_proj")(self.hidden_dim)

@@ -1,12 +1,19 @@
 """TPU Pallas kernels and quantized-inference ops.
 
-Measured guidance (v5e, CC3M bench step — see README "perf campaign"):
-  - fused_attention_qkv is the production attention path (on by default
-    on TPU backends via models.attention's use_flash tri-state);
-  - fused_layer_norm and the ln_matmul/mlp_block fusions are measured
-    NEGATIVE results in the full train step (custom-call boundaries break
-    XLA's surrounding fusions) — kept available, off by default;
-  - int8 ops are for offline export / custom serving stacks.
+Production paths (measured winners — v5e, CC3M bench step, README
+"perf campaign"):
+  - ``fused_attention_qkv`` is THE attention path: packed-QKV Pallas
+    kernel, on by default on TPU backends via models.attention's
+    ``use_flash`` tri-state, partitionable under a model axis
+    (custom_partitioning — TP serving/training keep it);
+  - int8 ops are for offline export / custom serving stacks
+    (``tools/bench_infer.py --int8``).
+
+Measured LOSERS (fused LN, LN->matmul, fused MLP block) live in
+``cosmos_tpu.ops.experimental`` with a lessons index in its docstring —
+kept as reproducible negative results behind explicit toggles, never on
+a default path.  The package split IS the verdict: if it's importable
+from ``cosmos_tpu.ops`` directly, it's a winner.
 """
 
 from cosmos_tpu.ops.fused_attention import fused_attention_qkv
@@ -16,12 +23,9 @@ from cosmos_tpu.ops.int8 import (
     quantize_dense_params,
     quantize_weight,
 )
-from cosmos_tpu.ops.layer_norm import fused_layer_norm, hybrid_layer_norm
 
 __all__ = [
     "fused_attention_qkv",
-    "fused_layer_norm",
-    "hybrid_layer_norm",
     "int8_matmul",
     "quantize_activations",
     "quantize_dense_params",

@@ -1,4 +1,4 @@
-"""Fused single-pass LayerNorm kernel (ops/layer_norm) vs the XLA module.
+"""Fused single-pass LayerNorm kernel (ops/experimental/layer_norm) vs the XLA module.
 
 Reference semantics under test: LayerNorm computed in float32, cast back
 to the compute dtype (/root/reference/src/open_clip/transformer.py:15-30),
@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from cosmos_tpu.models import layers
-from cosmos_tpu.ops.layer_norm import fused_layer_norm, supported
+from cosmos_tpu.ops.experimental.layer_norm import fused_layer_norm, supported
 
 
 @pytest.fixture()
@@ -76,7 +76,7 @@ def test_supported_gating():
 
 def test_hybrid_grads_match_module(data):
     """hybrid_layer_norm: jnp forward + Pallas backward == jnp AD."""
-    from cosmos_tpu.ops.layer_norm import hybrid_layer_norm
+    from cosmos_tpu.ops.experimental.layer_norm import hybrid_layer_norm
 
     x, s, b = data
     ln = layers.LayerNorm()
@@ -119,7 +119,7 @@ def test_module_dispatch_uses_hybrid(data, monkeypatch):
     monkeypatch.setattr(layers, "HYBRID_LN", True)
     monkeypatch.setattr(layers, "_hybrid_ln_active",
                         lambda x: x.ndim == 3 and x.shape[-1] % 128 == 0)
-    import cosmos_tpu.ops.layer_norm as fln
+    import cosmos_tpu.ops.experimental.layer_norm as fln
     monkeypatch.setattr(fln, "_resolve_interpret", lambda interpret: True)
     np.testing.assert_array_equal(np.asarray(loss(params, x)),
                                   np.asarray(ref_val))
@@ -136,7 +136,7 @@ def test_module_dispatch_uses_kernel(data, monkeypatch):
     params = {"params": {"scale": s, "bias": b}}
     ref = layers.LayerNorm().apply(params, x)
     monkeypatch.setattr(layers, "FUSED_LN", True)
-    import cosmos_tpu.ops.layer_norm as fln
+    import cosmos_tpu.ops.experimental.layer_norm as fln
     monkeypatch.setattr(
         fln, "_resolve_interpret", lambda interpret: True
     )

@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cosmos_tpu.ops.ln_matmul import ln_matmul
+from cosmos_tpu.ops.experimental.ln_matmul import ln_matmul
 
 
 def _unfused(x, g, b, w, bias, eps=1e-5):
@@ -90,7 +90,7 @@ def test_fused_model_matches_unfused_model():
 def test_mlp_block_matches_unfused():
     """Fused LN->c_fc->act->c_proj kernel: fwd + all grads match the
     composed reference ops."""
-    from cosmos_tpu.ops.mlp_block import mlp_block
+    from cosmos_tpu.ops.experimental.mlp_block import mlp_block
 
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(24, 128)), jnp.float32)
