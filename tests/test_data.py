@@ -370,3 +370,47 @@ def test_duplicate_key_tar_yields_new_sample(tmp_path):
             tf.addfile(ti, io.BytesIO(payload))
     samples = list(tar_to_samples(str(path)))
     assert [s["txt"] for s in samples] == [b"one", b"two"]
+
+
+def test_mid_epoch_resume_shard_invariant():
+    """Bound the documented mid-epoch resume divergence (WdsTrainLoader
+    docstring / PARITY.md): a resume into epoch e reproduces epoch e's
+    SHARD partition exactly — per-stream order identical and no shard
+    duplicated or skipped across the (process, worker) grid — because
+    epoch_shards(e) is a pure function of (seed, epoch, process,
+    worker), independent of loader history.  Only the intra-epoch
+    SAMPLE interleaving (shuffle buffer vs batch boundary) may differ
+    on a mid-epoch resume."""
+    urls = [f"shard-{i:04d}.tar" for i in range(37)]
+    P, W = 2, 3
+
+    def streams(epoch):
+        return [
+            list(
+                ShardedShardList(
+                    urls, shuffle=True, seed=11,
+                    process_index=p, process_count=P,
+                    worker_index=w, worker_count=W,
+                ).epoch_shards(epoch)
+            )
+            for p in range(P) for w in range(W)
+        ]
+
+    for epoch in (0, 1, 5):
+        original = streams(epoch)
+        resumed = streams(epoch)  # fresh objects = a restarted process
+        assert original == resumed
+        flat = [s for st in original for s in st]
+        assert sorted(flat) == sorted(urls)  # each shard exactly once
+    assert streams(0) != streams(1)  # epochs permute (detshuffle2 keying)
+
+
+def test_worker_sample_rng_is_history_free():
+    """The worker sample rng keys on (seed, epoch, process, worker) only
+    (loader.py _worker_loop): a worker RESUMED at epoch e draws the same
+    shuffle-buffer/augmentation stream as one that self-advanced to e,
+    so the mid-epoch divergence is bounded to where within the epoch the
+    resume happened — never to WHICH data the epoch contains."""
+    keyed = lambda e: random.Random(hash((0, e, 1, 2))).random()
+    assert keyed(3) == keyed(3)
+    assert keyed(3) != keyed(4)
