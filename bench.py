@@ -128,11 +128,14 @@ def main() -> None:
     state = create_train_state(params, optimizer, mesh)
 
     import sys
-    b = int(os.environ.get("BENCH_BATCH", "48")) * n_dev
+    b = int(os.environ.get("BENCH_BATCH", "64")) * n_dev
     # reference per-device batch is 64 (train_cc3m.sh:36); this framework is
     # free to pick its throughput-optimal per-chip batch — images/sec is what
-    # the metric tracks.  Measured on v5e: B=32 -> 223, B=48 -> 225.5,
-    # B=64 -> 220, B=80 -> ~120 img/s/chip (HBM-pressure cliff past 64).
+    # the metric tracks.  Measured on v5e pre-bucket: B=32 -> 223,
+    # B=48 -> 225.5, B=64 -> 220, B=80 -> ~120 (HBM cliff).  With the
+    # length-bucketed text tower the remat'd cond branches free enough HBM
+    # that B=64 becomes the sweet spot: B=48 -> 245.0, B=64 -> 255.3,
+    # B=80 -> 242.0 img/s/chip (same session).
     rng = np.random.default_rng(0)
 
     def make_texts(size):
