@@ -249,12 +249,25 @@ def evaluate_model(
     if not zero_shot:
         return metrics
 
+    # host-side EOT truncation of the short prompt banks is exact only
+    # for the native causal + argmax-EOT text tower (zero_shot.py
+    # truncate_to_eot); HF towers (bidirectional / CLS pooling) and
+    # embed_cls towers must encode at full context
+    tcfg = getattr(model, "cfg", None)
+    tcfg = getattr(tcfg, "text_cfg", None)
+    eot_truncate = bool(
+        tcfg is not None
+        and not getattr(tcfg, "hf_model_name", None)
+        and not getattr(tcfg, "embed_cls", False)
+    )
+
     if "imagenet-val" in data or "imagenet-v2" in data:
         m = zero_shot_eval(
             enc_image,
             lambda t: enc_text_raw(jnp.asarray(np.asarray(t, np.int32))),
             tokenizer,
             data,
+            eot_truncate=eot_truncate,
         )
         metrics.update({f"{prefix}{k}": v for k, v in m.items()})
         logger.info(f"imagenet [{prefix or 'student'}]: {m}")
@@ -269,6 +282,7 @@ def evaluate_model(
                 tokenizer,
                 name,
                 data[name],
+                eot_truncate=eot_truncate,
             )
             metrics.update({f"{prefix}{k}": v for k, v in m.items()})
             logger.info(f"{name} [{prefix or 'student'}]: {m}")

@@ -158,3 +158,49 @@ def test_mesh_encoders_accept_uneven_batches():
     got = np.asarray(enc_t_mesh(toks))
     assert got.shape[0] == 180
     np.testing.assert_allclose(got, np.asarray(enc_t_plain(toks)), atol=1e-5)
+
+
+def test_eot_truncated_classifier_matches_full():
+    """eot_truncate=True builds the SAME classifier as the full-context
+    encode on a real (tiny) causal text tower: host truncation at
+    max(eot)+1 is exact under causal masking + argmax-EOT pooling (same
+    argument as --text-bucket; only GEMM-shape float reassociation can
+    differ).  Also checks truncate_to_eot's rounding contract."""
+    import jax
+
+    from cosmos_tpu.data.tokenizer import SimpleTokenizer
+    from cosmos_tpu.models.factory import create_model
+    from cosmos_tpu.training.zero_shot import truncate_to_eot
+
+    model, params = create_model(
+        "ViT-B-16", embed_dim=32, vision_image_size=16, vision_patch_size=8,
+        vision_width=32, vision_layers=2, vision_head_width=16,
+        text_context_length=64, text_vocab_size=49408, text_width=32,
+        text_heads=2, text_layers=2,
+    )
+    tok = SimpleTokenizer(context_length=64)
+
+    def enc(tokens):
+        return model.apply(
+            {"params": params}, jnp.asarray(np.asarray(tokens, np.int32)),
+            False, method=model.encode_text)["text_features"]
+
+    names = ["cat", "dog", "frog", "axolotl"]
+    templates = ["a photo of a {}.", "an image of a {}."]
+    full = np.asarray(build_zero_shot_classifier(
+        enc, tok, names, templates, num_classes_per_batch=2))
+    trunc = np.asarray(build_zero_shot_classifier(
+        enc, tok, names, templates, num_classes_per_batch=2,
+        eot_truncate=True))
+    np.testing.assert_allclose(trunc, full, atol=2e-6, rtol=2e-3)
+
+    # rounding contract: short prompts slice to the 16-multiple, and a
+    # full-length batch is left alone
+    t = tok(["a photo of a cat."])
+    cut = truncate_to_eot(t)
+    assert cut.shape[1] == 16
+    assert int(cut.argmax(axis=-1).max()) == int(
+        np.asarray(t).argmax(axis=-1).max())
+    long = np.zeros((1, 64), np.int32)
+    long[0, -1] = 9
+    assert truncate_to_eot(long).shape[1] == 64
