@@ -118,10 +118,19 @@ class CLIPSegmentor:
             )
             return out["text_features"]
 
+        # EOT-sliced prompt encoding (exact for the native causal tower;
+        # seg models are COSMOS checkpoints = native text towers, but the
+        # gate keeps any HF-towered config correct)
+        tcfg = getattr(getattr(model, "cfg", None), "text_cfg", None)
+        eot_trunc = bool(
+            tcfg is not None
+            and not getattr(tcfg, "hf_model_name", None)
+            and not getattr(tcfg, "embed_cls", False)
+        )
         self.query_features = np.asarray(
             build_zero_shot_classifier(
                 enc_text, tokenizer, self.query_words, templates,
-                num_classes_per_batch=8,
+                num_classes_per_batch=8, eot_truncate=eot_trunc,
             ).T
         )  # [Q, D]
 

@@ -228,6 +228,18 @@ def evaluate_model(
     enc_image, enc_text_norm, enc_text_raw = make_encoders(model, params, mesh)
     metrics: Dict[str, float] = {}
 
+    # host-side EOT truncation of caption/prompt batches is exact only
+    # for the native causal + argmax-EOT text tower (zero_shot.py
+    # truncate_to_eot); HF towers (bidirectional / CLS pooling) and
+    # embed_cls towers must encode at full context
+    tcfg = getattr(model, "cfg", None)
+    tcfg = getattr(tcfg, "text_cfg", None)
+    eot_truncate = bool(
+        tcfg is not None
+        and not getattr(tcfg, "hf_model_name", None)
+        and not getattr(tcfg, "embed_cls", False)
+    )
+
     for name in ("coco-retrieval", "flickr-retrieval"):
         if retrieval and name in data:
             rd: RetrievalData = data[name]
@@ -241,6 +253,7 @@ def evaluate_model(
                 img_loader,
                 batch_size=batch_size,
                 prefix=f"{prefix}{name.split('-')[0]}_",
+                eot_truncate=eot_truncate,
             )
             metrics.update(m)
             logger.info(f"{name} [{prefix or 'student'}]: "
@@ -248,18 +261,6 @@ def evaluate_model(
 
     if not zero_shot:
         return metrics
-
-    # host-side EOT truncation of the short prompt banks is exact only
-    # for the native causal + argmax-EOT text tower (zero_shot.py
-    # truncate_to_eot); HF towers (bidirectional / CLS pooling) and
-    # embed_cls towers must encode at full context
-    tcfg = getattr(model, "cfg", None)
-    tcfg = getattr(tcfg, "text_cfg", None)
-    eot_truncate = bool(
-        tcfg is not None
-        and not getattr(tcfg, "hf_model_name", None)
-        and not getattr(tcfg, "embed_cls", False)
-    )
 
     if "imagenet-val" in data or "imagenet-v2" in data:
         m = zero_shot_eval(

@@ -14,7 +14,7 @@ here ranks come from one argsort-of-argsort per direction.
 from __future__ import annotations
 
 import logging
-from typing import Callable, Dict, List
+from typing import Callable, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -65,9 +65,13 @@ def compute_retrieval_metrics(
 
 
 def encode_in_batches(fn: Callable, arrays: np.ndarray, batch_size: int,
-                      pad_to_batch: bool = True) -> np.ndarray:
+                      pad_to_batch: bool = True,
+                      chunk_transform: Optional[Callable] = None) -> np.ndarray:
     """Run a jitted encoder over fixed-size batches (last batch padded so
-    one compiled shape serves the whole pass)."""
+    one compiled shape serves the whole pass).  ``chunk_transform`` maps
+    each host chunk before encoding (e.g. zero_shot.truncate_to_eot for
+    exact caption-length slicing; its 16-multiple rounding bounds the
+    compile count)."""
     n = arrays.shape[0]
     outs = []
     for start in range(0, n, batch_size):
@@ -76,6 +80,8 @@ def encode_in_batches(fn: Callable, arrays: np.ndarray, batch_size: int,
         if pad_to_batch and real < batch_size:
             pad = np.repeat(chunk[-1:], batch_size - real, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
+        if chunk_transform is not None:
+            chunk = chunk_transform(chunk)
         out = np.asarray(fn(jnp.asarray(chunk)))
         outs.append(out[:real])
     return np.concatenate(outs, axis=0)
@@ -88,9 +94,20 @@ def evaluate_retrieval(
     image_loader,                   # yields ([B,H,W,3] f32, img_ids)
     batch_size: int = 256,
     prefix: str = "",
+    eot_truncate: bool = False,
 ) -> Dict[str, float]:
-    """Full retrieval eval for one dataset (retrieval_on_split)."""
-    txt_feats = encode_in_batches(encode_text_fn, data.captions, batch_size)
+    """Full retrieval eval for one dataset (retrieval_on_split).
+
+    eot_truncate: host-slice each caption chunk at max(eot)+1 (exact for
+    the native causal tower, see zero_shot.truncate_to_eot) — COCO/
+    Flickr captions are ~10-25 tokens vs the 77-token padded context."""
+    chunk_tf = None
+    if eot_truncate:
+        from cosmos_tpu.training.zero_shot import truncate_to_eot
+
+        chunk_tf = truncate_to_eot
+    txt_feats = encode_in_batches(encode_text_fn, data.captions, batch_size,
+                                  chunk_transform=chunk_tf)
 
     img_feats_list, img_ids_list = [], []
     for images, ids in image_loader:
