@@ -119,10 +119,16 @@ def main(argv=None) -> Dict:
         mesh = create_mesh(
             int(args.mesh_shape) if args.mesh_shape else None
         )
+    if args.fsdp and tp_size > 1:
+        raise ValueError(
+            "--fsdp composes with a 1-D data mesh only for now; drop the "
+            "',tp' mesh-shape or the flag (parallel/fsdp.py docstring)")
+    # FSDP rides the same GSPMD step as TP training: placement-only change
+    use_gspmd = tp_size > 1 or args.fsdp
     local_device_count = jax.local_device_count()
     logger.info(
         f"process {process_index}/{process_count}, devices={len(devices)}, "
-        f"mesh={mesh.shape}"
+        f"mesh={mesh.shape}" + (" (fsdp)" if args.fsdp else "")
     )
 
     # params dump (main.py:344-349)
@@ -342,7 +348,7 @@ def main(argv=None) -> Dict:
         log_grad_norm=(args.grad_clip_norm is not None
                        or args.log_grad_norm),
     )
-    if tp_size > 1:
+    if use_gspmd:
         from cosmos_tpu.training.train import make_train_step_gspmd
 
         step_fn = make_train_step_gspmd(model, optimizer, mesh, step_cfg,
@@ -361,6 +367,10 @@ def main(argv=None) -> Dict:
         _raw_step = step_fn
         step_fn = lambda s, b: _raw_step(s, b, dist_params)  # noqa: E731
     def _make_state(p_, opt_, mesh_, tp_):
+        if args.fsdp:
+            from cosmos_tpu.training.train import create_train_state_fsdp
+
+            return create_train_state_fsdp(p_, opt_, mesh_)
         if tp_ > 1:
             from cosmos_tpu.training.train import create_train_state_gspmd
 
@@ -400,17 +410,24 @@ def main(argv=None) -> Dict:
         # re-commit onto the mesh: restore hands back HOST arrays, and an
         # uncommitted state re-triggers the double-compile
         # create_train_state(mesh) exists to avoid (~10 min on v5e)
-        if tp_size > 1:
-            # tensor-parallel placements: params/teacher by the TP specs;
-            # the optimizer state adopts the shardings a fresh init of
-            # the SHARDED params produces (same tree structure)
-            from cosmos_tpu.parallel.tp import shard_params_tp
+        if use_gspmd:
+            # GSPMD placements (TP or FSDP): params/teacher by the mode's
+            # specs; the optimizer state adopts the shardings a fresh
+            # init of the SHARDED params produces (same tree structure)
+            if args.fsdp:
+                from cosmos_tpu.parallel.fsdp import (
+                    shard_params_fsdp as _shard_fn,
+                )
+            else:
+                from cosmos_tpu.parallel.tp import (
+                    shard_params_tp as _shard_fn,
+                )
 
             from jax.sharding import NamedSharding as _NS
             from jax.sharding import PartitionSpec as _PS
 
-            new_p = shard_params_tp(state.params, mesh)
-            new_t = shard_params_tp(state.teacher_params, mesh)
+            new_p = _shard_fn(state.params, mesh)
+            new_t = _shard_fn(state.teacher_params, mesh)
             opt_template = optimizer.init(new_p)
             rep = _NS(mesh, _PS())
 

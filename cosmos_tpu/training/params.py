@@ -270,6 +270,13 @@ def parse_args(args=None):
              "overlaps the step (torch pin_memory/non_blocking analog); "
              "0 disables")
 
+    add("--fsdp", action="store_true", default=False,
+        help="FSDP/ZeRO placement (parallel/fsdp.py): shard params, "
+             "grads, Adam moments and the EMA teacher over the data axis "
+             "via the GSPMD step — per-chip stateful memory drops ~Nx. "
+             "For towers whose optimizer state outgrows one chip; "
+             "1-D data mesh only (not yet composed with a ,tp mesh)")
+
     # TPU / mesh
     add("--mesh-shape", type=str, default=None,
         help="'N' = 1-D data mesh over N devices (default: all devices); "

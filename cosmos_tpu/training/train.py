@@ -848,3 +848,29 @@ def create_train_state_gspmd(params, optimizer, mesh: Mesh) -> TrainState:
         teacher_params=teacher,
         opt_state=optimizer.init(p),
     )
+
+
+def create_train_state_fsdp(params, optimizer, mesh: Mesh,
+                            min_size: int = None) -> TrainState:
+    """TrainState for the GSPMD step with FSDP/ZeRO placement
+    (parallel/fsdp.py): params, grads, Adam moments AND the EMA teacher
+    shard over the data axis — per-chip stateful memory drops ~Nx on an
+    N-way mesh.  Pair with make_train_step_gspmd (the step is placement-
+    agnostic; XLA derives the ZeRO all-gather/reduce-scatter pattern
+    from these shardings)."""
+    from jax.sharding import NamedSharding
+
+    from cosmos_tpu.parallel.fsdp import FSDP_MIN_SIZE, shard_params_fsdp
+
+    if min_size is None:
+        min_size = FSDP_MIN_SIZE
+    p = shard_params_fsdp(params, mesh, min_size)
+    teacher = shard_params_fsdp(jax.tree.map(jnp.copy, params), mesh,
+                                min_size)
+    return TrainState(
+        step=jax.device_put(
+            jnp.zeros((), jnp.int32), NamedSharding(mesh, P())),
+        params=p,
+        teacher_params=teacher,
+        opt_state=optimizer.init(p),
+    )
