@@ -120,13 +120,10 @@ class CLIPSegmentor:
 
         # EOT-sliced prompt encoding (exact for the native causal tower;
         # seg models are COSMOS checkpoints = native text towers, but the
-        # gate keeps any HF-towered config correct)
-        tcfg = getattr(getattr(model, "cfg", None), "text_cfg", None)
-        eot_trunc = bool(
-            tcfg is not None
-            and not getattr(tcfg, "hf_model_name", None)
-            and not getattr(tcfg, "embed_cls", False)
-        )
+        # shared gate keeps any HF/SigLIP-towered config correct)
+        from cosmos_tpu.training.zero_shot import supports_eot_truncation
+
+        eot_trunc = supports_eot_truncation(model)
         self.query_features = np.asarray(
             build_zero_shot_classifier(
                 enc_text, tokenizer, self.query_words, templates,

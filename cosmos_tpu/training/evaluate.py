@@ -229,16 +229,11 @@ def evaluate_model(
     metrics: Dict[str, float] = {}
 
     # host-side EOT truncation of caption/prompt batches is exact only
-    # for the native causal + argmax-EOT text tower (zero_shot.py
-    # truncate_to_eot); HF towers (bidirectional / CLS pooling) and
-    # embed_cls towers must encode at full context
-    tcfg = getattr(model, "cfg", None)
-    tcfg = getattr(tcfg, "text_cfg", None)
-    eot_truncate = bool(
-        tcfg is not None
-        and not getattr(tcfg, "hf_model_name", None)
-        and not getattr(tcfg, "embed_cls", False)
-    )
+    # for the native causal + argmax-EOT text tower — one shared gate
+    # (zero_shot.supports_eot_truncation) keeps the rule from drifting
+    from cosmos_tpu.training.zero_shot import supports_eot_truncation
+
+    eot_truncate = supports_eot_truncation(model)
 
     for name in ("coco-retrieval", "flickr-retrieval"):
         if retrieval and name in data:

@@ -75,6 +75,22 @@ def bank_key(dataset_name: str) -> str:
     return _BANK_ALIASES.get(dataset_name, dataset_name)
 
 
+def supports_eot_truncation(model) -> bool:
+    """THE gate for EOT-slicing a model's text inputs (truncate_to_eot /
+    the training-side --text-bucket share the exactness argument): the
+    text tower must be the native causal + argmax-EOT one.  HF towers
+    (bidirectional / CLS pooling), embed_cls towers, and SigLIP-style
+    towers (no_causal_mask / last-pool) must encode at full context."""
+    tcfg = getattr(getattr(model, "cfg", None), "text_cfg", None)
+    return bool(
+        tcfg is not None
+        and not getattr(tcfg, "hf_model_name", None)
+        and not getattr(tcfg, "embed_cls", False)
+        and not getattr(tcfg, "no_causal_mask", False)
+        and getattr(tcfg, "pool_type", "argmax") == "argmax"
+    )
+
+
 def truncate_to_eot(tokens: np.ndarray, multiple: int = 16) -> np.ndarray:
     """Host-side EXACT shortening for causal + argmax-EOT text towers:
     slice a padded [N, L] prompt batch at max(eot)+1, rounded up to

@@ -285,3 +285,41 @@ def test_text_bucket_exact_vs_full():
     # keep full k*B rows there
     out_ev = model1.apply({"params": params}, g, texts)
     assert out_ev["text_features"].shape[0] == k * b
+
+
+def test_text_bucket_disengages_for_non_causal_towers():
+    """A SigLIP-style tower (no_causal_mask, last-pool) must NOT bucket:
+    truncation there changes every feature (tokens attend bidirectionally
+    past the EOT), so with text_bucket set the forward must be identical
+    to the unbucketed model — proof the guard disengaged."""
+    kw = dict(TINY, cosmos=True, output_all=True, attentional_pool=True,
+              add_zero_attn=True, text_no_causal_mask=True,
+              text_pool_type="last")
+    model0, params = create_model("ViT-B-16", **kw)
+    model1, _ = create_model("ViT-B-16", text_bucket=8, init_params=False,
+                             **kw)
+    b, k, L = 4, 4, TINY["text_context_length"]
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(2 * b, 16, 16, 3)).astype("float32")
+    texts = np.zeros((k * b, L), dtype="int32")
+    texts[:, 0] = 2
+    for i in range(k * b):
+        n = int(rng.integers(2, 7))
+        texts[i, 1:n] = rng.integers(3, 120, n - 1)
+        texts[i, n] = 127
+    out0 = model0.apply({"params": params}, g, texts, batch_size=b)
+    out1 = model1.apply({"params": params}, g, texts, batch_size=b)
+    np.testing.assert_array_equal(
+        np.asarray(out0["text_features"]), np.asarray(out1["text_features"]))
+
+
+def test_supports_eot_truncation_gate():
+    from cosmos_tpu.training.zero_shot import supports_eot_truncation
+
+    kw = dict(TINY, init_params=False)
+    ok, _ = create_model("ViT-B-16", **kw)
+    assert supports_eot_truncation(ok)
+    siglip_style, _ = create_model("ViT-B-16", text_no_causal_mask=True,
+                                   text_pool_type="last", **kw)
+    assert not supports_eot_truncation(siglip_style)
+    assert not supports_eot_truncation(object())  # no cfg at all
