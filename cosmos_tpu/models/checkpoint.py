@@ -391,4 +391,12 @@ def load_checkpoint(
         sd = ckpt["state_dict"]
     else:
         sd = ckpt
+    # third-party formats (MobileCLIP, bare timm trunks, SigLIP npz
+    # saved as a dict) route through the fingerprint dispatch, exactly
+    # like the reference's load_checkpoint -> convert_state_dict hook
+    # (factory.py:147-182 there)
+    from .convert import convert_state_dict, detect_format
+
+    if detect_format(sd) not in ("open_clip", "unknown"):
+        return convert_state_dict(model, params, sd)
     return torch_state_dict_to_params(sd, params, strict=strict)

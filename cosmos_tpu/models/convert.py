@@ -281,22 +281,166 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
         out["visual"] = visual
         return out
     if fmt == "mobileclip":
-        # Documented decision: unsupported.  MobileCLIP-S1/S2 checkpoints
-        # need a FastViT/RepMixer (MCi) image trunk; this framework's
-        # native timm trunks cover ViT (timm_model.py) and ConvNeXt
-        # (convnext.py) geometries but not RepMixer.  Note the reference's
-        # own MobileCLIP path (convert.py:142-180) is DEAD code inherited
-        # from upstream open_clip: the reference ships no MobileCLIP model
-        # config (model_configs/ holds only ViT-B-16/32) and no pretrained
-        # registry entry, so the target model cannot even be constructed
-        # there — and no COSMOS artifact uses MobileCLIP weights.  An
-        # offline FastViT reimplementation could not be validated against
-        # real checkpoints in this environment, so this stays an explicit
-        # refusal rather than an unverifiable half-mapping (PARITY.md).
-        raise NotImplementedError(
-            "MobileCLIP conversion is unsupported: it needs a FastViT/"
-            "RepMixer trunk; the reference's own MobileCLIP converter is "
-            "unreachable dead code (no model config or pretrained entry), "
-            "and no COSMOS artifact uses it"
-        )
+        return convert_mobileclip(params, sd)
     raise ValueError(f"unrecognized checkpoint format (keys: {list(sd)[:5]})")
+
+
+# --- MobileCLIP (Apple ml-mobileclip checkpoints) --------------------------
+#
+# Reference analog: convert.py:142-190 — the reference routes the image
+# tower through timm's fastvit checkpoint_filter_fn onto a timm trunk and
+# renames the text tower onto its TextTransformer.  Here the image tower
+# converts through models/fastvit.py's fusing converter (train-form
+# branches -> deploy convs) and the text tower maps key-for-key onto the
+# native TextTransformer.  Note the reference's own MobileCLIP path is
+# unreachable dead code there (model_configs/ ships only ViT-B-16/32);
+# this framework goes further and ships MobileCLIP-S1/S2 model configs.
+# MobileCLIP-S0 (MCt convolutional text tower) stays unsupported, exactly
+# matching the reference (convert.py:184 's0 ... not currently supported').
+
+_MC_IMG = "image_encoder.model."
+_MC_TXT = "text_encoder."
+
+
+def _mc_np(sd, k):
+    v = sd[k]
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+
+def _mc_t(sd, k):
+    return np.ascontiguousarray(_mc_np(sd, k).T)
+
+
+def _mc_ln(sd, p):
+    return {"scale": _mc_np(sd, f"{p}.weight"), "bias": _mc_np(sd, f"{p}.bias")}
+
+
+def _convert_mobileclip_text(sd, n_layers: int) -> Dict[str, Any]:
+    """Apple MobileCLIP base text tower -> TextTransformer param subtree.
+
+    Key map per the reference's _convert_openclip_txt (convert.py:154-180):
+    embedding_layer -> token_embedding, positional_embedding.pos_embed ->
+    positional_embedding, pre_norm_mha.{0,1} -> ln_1/attn,
+    pre_norm_ffn.{0,1,4} -> ln_2/c_fc/c_proj, final_layer_norm ->
+    ln_final, projection_layer -> text_projection.
+    """
+    p = _MC_TXT
+    pe_key = f"{p}positional_embedding.pos_embed.pos_embed"
+    if pe_key not in sd:
+        raise NotImplementedError(
+            "MobileCLIP text tower is not the base transformer layout "
+            "(MobileCLIP-S0's MCt convolutional text tower?) — "
+            "unsupported, matching the reference (convert.py:184)"
+        )
+    txt: Dict[str, Any] = {
+        "token_embedding": {"embedding": _mc_np(sd, f"{p}embedding_layer.weight")},
+        "positional_embedding": _mc_np(sd, pe_key).reshape(
+            -1, _mc_np(sd, f"{p}embedding_layer.weight").shape[1]),
+        "ln_final": _mc_ln(sd, f"{p}final_layer_norm"),
+    }
+    blocks: Dict[str, Any] = {}
+    for i in range(n_layers):
+        b = f"{p}transformer.{i}"
+        blocks[f"resblocks_{i}"] = {
+            "ln_1": _mc_ln(sd, f"{b}.pre_norm_mha.0"),
+            "ln_2": _mc_ln(sd, f"{b}.pre_norm_ffn.0"),
+            "attn": {
+                "in_proj_kernel": _mc_t(sd, f"{b}.pre_norm_mha.1.qkv_proj.weight"),
+                "in_proj_bias": _mc_np(sd, f"{b}.pre_norm_mha.1.qkv_proj.bias"),
+                "out_proj": {
+                    "kernel": _mc_t(sd, f"{b}.pre_norm_mha.1.out_proj.weight"),
+                    "bias": _mc_np(sd, f"{b}.pre_norm_mha.1.out_proj.bias"),
+                },
+            },
+            "mlp": {
+                "c_fc": {"kernel": _mc_t(sd, f"{b}.pre_norm_ffn.1.weight"),
+                         "bias": _mc_np(sd, f"{b}.pre_norm_ffn.1.bias")},
+                "c_proj": {"kernel": _mc_t(sd, f"{b}.pre_norm_ffn.4.weight"),
+                           "bias": _mc_np(sd, f"{b}.pre_norm_ffn.4.bias")},
+            },
+        }
+    txt["transformer"] = blocks
+    # projection: bare [width, embed] matrix (GlobalPool2D-style Parameter)
+    # or an nn.Linear — accept both
+    if f"{p}projection_layer" in sd:
+        txt["text_projection_kernel"] = _mc_np(sd, f"{p}projection_layer")
+    elif f"{p}projection_layer.weight" in sd:
+        w = _mc_t(sd, f"{p}projection_layer.weight")
+        if f"{p}projection_layer.bias" in sd:
+            txt["text_projection"] = {
+                "kernel": w, "bias": _mc_np(sd, f"{p}projection_layer.bias")}
+        else:
+            txt["text_projection_kernel"] = w
+    else:
+        raise KeyError("MobileCLIP text projection not found "
+                       "(text_encoder.projection_layer)")
+    return txt
+
+
+def _merge_strict(ref, new, path=""):
+    """Replace ref leaves with converted ones, asserting shapes; every
+    converted tensor must have a slot and every slot must be filled."""
+    if not isinstance(ref, dict):
+        assert new is not None, f"converted checkpoint missing {path}"
+        assert tuple(np.shape(new)) == tuple(np.shape(ref)), (
+            f"shape mismatch at {path}: {np.shape(new)} vs {np.shape(ref)}")
+        return new
+    new = new or {}
+    unused = set(new) - set(ref)
+    if unused:
+        raise ValueError(
+            f"converted MobileCLIP tensors have no slot at "
+            f"{path or '<root>'}: {sorted(unused)} — model config must be "
+            "the MobileCLIP shape (timm fastvit_mci* trunk, 'avg' pool, "
+            "bias-free 'linear' proj)")
+    return {k: _merge_strict(ref[k], new.get(k), f"{path}/{k}") for k in ref}
+
+
+def convert_mobileclip(params: Dict, sd: Dict[str, Any]) -> Dict:
+    """Apple MobileCLIP checkpoint -> full param tree (S1/S2; the 'b'
+    hybrid-ViT tower and the S0 MCt text tower are detected and refused
+    with actionable errors)."""
+    from .fastvit import convert_mobileclip_image, infer_fastvit_name
+
+    if f"{_MC_IMG}patch_emb.0.block.conv.weight" in sd:
+        raise NotImplementedError(
+            "MobileCLIP-B checkpoints use Apple's hybrid-ViT image tower "
+            "(timm vision_transformer_hybrid in the reference, "
+            "convert.py:187-189); use MobileCLIP-S1/S2 or convert the "
+            "tower via a plain timm ViT export"
+        )
+    if f"{_MC_IMG}patch_embed.0.rbr_conv.0.conv.weight" not in sd:
+        raise ValueError(
+            "unrecognized MobileCLIP image tower layout (expected "
+            "image_encoder.model.patch_embed.0.rbr_conv.* FastViT keys)")
+    if "trunk" not in params.get("visual", {}):
+        raise ValueError(
+            "MobileCLIP checkpoint needs a FastViT vision tower: build "
+            "the model from the MobileCLIP-S1/S2 config "
+            "(create_model('MobileCLIP-S1'))")
+
+    name = infer_fastvit_name(sd, _MC_IMG)
+    visual: Dict[str, Any] = {
+        "trunk": convert_mobileclip_image(sd, name, _MC_IMG)}
+    # image projection head: GlobalPool2D bare matrix or nn.Linear
+    if f"{_MC_IMG}head.proj" in sd:
+        visual["head"] = {"kernel": _mc_np(sd, f"{_MC_IMG}head.proj")}
+    elif f"{_MC_IMG}head.weight" in sd:
+        visual["head"] = {"kernel": _mc_t(sd, f"{_MC_IMG}head.weight")}
+        if f"{_MC_IMG}head.bias" in sd:
+            visual["head"]["bias"] = _mc_np(sd, f"{_MC_IMG}head.bias")
+    else:
+        raise KeyError("MobileCLIP image projection not found "
+                       "(image_encoder.model.head)")
+
+    n_txt = len([k for k in params["text"]["transformer"]
+                 if k.startswith("resblocks")])
+    out = {
+        "visual": visual,
+        "text": _convert_mobileclip_text(sd, n_txt),
+        "logit_scale": _mc_np(sd, "logit_scale").reshape(()),
+    }
+    merged = _merge_strict(params, out)
+    logger.info("converted MobileCLIP checkpoint: %s trunk (fused to "
+                "deploy form) + %d text blocks", name, n_txt)
+    return jax.tree.map(jnp.asarray, merged)

@@ -94,6 +94,21 @@ for _name, _path in _OPENAI_CKPTS.items():
         "std": (0.26862954, 0.26130258, 0.27577711),
     }
 
+# Apple MobileCLIP releases (datacompdr tag, reference-analog _mccfg
+# preprocessing: identity mean/std).  load_checkpoint routes these
+# through convert.convert_mobileclip (fastvit.py fusing converter).
+for _name, _mci in (("MobileCLIP-S1", "s1"), ("MobileCLIP-S2", "s2")):
+    _PRETRAINED[_name] = {
+        "datacompdr": {
+            "url": ("https://docs-assets.developer.apple.com/ml-research/"
+                    f"datasets/mobileclip/mobileclip_{_mci}.pt"),
+            "mean": (0.0, 0.0, 0.0),
+            "std": (1.0, 1.0, 1.0),
+            "interpolation": "bilinear",
+            "resize_mode": "shortest",
+        }
+    }
+
 
 def list_pretrained() -> List[str]:
     return [

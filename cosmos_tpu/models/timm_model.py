@@ -16,12 +16,13 @@ transposed [W, 3W] in_proj, blocks.N.* -> resblocks_N.*).
 
 Non-ViT trunks: the ConvNeXt family is implemented natively in
 models/convnext.py (the one non-ViT architecture the OpenCLIP config
-family actually ships — convnext_base_w/large_d/xxlarge), and the EVA02
-family (rope + SwiGLU + sub-LN ViTs) in models/eva.py; both dispatch
-through this adapter by name.  FastViT remains an unsupported torch-only
-architecture; ``TIMM_VIT_CONFIGS``/``CONVNEXT_CONFIGS``/``EVA_CONFIGS``
-list coverage and ``register_timm_vit``/``register_convnext``/
-``register_eva`` extend it.
+family actually ships — convnext_base_w/large_d/xxlarge), the EVA02
+family (rope + SwiGLU + sub-LN ViTs) in models/eva.py, and the
+FastViT/MCi family (MobileCLIP's image towers, deploy/reparameterized
+form) in models/fastvit.py; all dispatch through this adapter by name.
+``TIMM_VIT_CONFIGS``/``CONVNEXT_CONFIGS``/``EVA_CONFIGS``/
+``FASTVIT_CONFIGS`` list coverage and ``register_timm_vit``/
+``register_convnext``/``register_eva``/``register_fastvit`` extend it.
 """
 
 from __future__ import annotations
@@ -83,18 +84,21 @@ class TimmModel(nn.Module):
     def setup(self):
         from .convnext import CONVNEXT_CONFIGS
         from .eva import EVA_CONFIGS
+        from .fastvit import FASTVIT_CONFIGS
 
         if (self.model_name not in TIMM_VIT_CONFIGS
                 and self.model_name not in CONVNEXT_CONFIGS
-                and self.model_name not in EVA_CONFIGS):
+                and self.model_name not in EVA_CONFIGS
+                and self.model_name not in FASTVIT_CONFIGS):
             raise NotImplementedError(
                 f"timm trunk {self.model_name!r}: plain ViTs "
                 f"({sorted(TIMM_VIT_CONFIGS)}), the ConvNeXt family "
-                f"({sorted(CONVNEXT_CONFIGS)}) and the EVA02 family "
-                f"({sorted(EVA_CONFIGS)}) are supported natively; "
+                f"({sorted(CONVNEXT_CONFIGS)}), the EVA02 family "
+                f"({sorted(EVA_CONFIGS)}) and the FastViT/MCi family "
+                f"({sorted(FASTVIT_CONFIGS)}) are supported natively; "
                 "register additional geometries via register_timm_vit / "
-                "register_convnext / register_eva, or use the native "
-                "ViT/ModifiedResNet towers."
+                "register_convnext / register_eva / register_fastvit, "
+                "or use the native ViT/ModifiedResNet towers."
             )
         if self.pool not in ("avg", "token", ""):
             raise ValueError(f"timm_pool {self.pool!r}: use 'avg' or 'token'")
@@ -120,6 +124,29 @@ class TimmModel(nn.Module):
             self.trunk = ConvNeXt(
                 model_name=self.model_name,
                 drop_path_rate=self.drop_path,
+                dtype=self.dtype,
+                name="trunk",
+            )
+            self._build_head()
+            return
+        if self.model_name in FASTVIT_CONFIGS:
+            if self.pool == "token":
+                raise ValueError(
+                    "timm_pool 'token': FastViT/MCi has no CLS token — "
+                    "use 'avg' (conv_exp + global average pool)")
+            if self.drop_path:
+                raise NotImplementedError(
+                    "timm_drop_path on a FastViT trunk is not wired; the "
+                    "deploy-form trunk targets inference/fine-tune loads")
+            if self.remat:
+                raise NotImplementedError(
+                    "--grad-checkpointing is not wired for FastViT trunks "
+                    "— failing loudly instead of silently training "
+                    "un-rematted at a batch size chosen assuming it was on")
+            from .fastvit import FastVit
+
+            self.trunk = FastVit(
+                model_name=self.model_name,
                 dtype=self.dtype,
                 name="trunk",
             )
