@@ -380,12 +380,16 @@ class WdsValLoader:
     (reference data.py val branch of get_wds_dataset, not resampled)."""
 
     def __init__(self, urls, batch_size: int, image_size: int = 224,
-                 context_length: int = 77, num_samples: Optional[int] = None):
+                 context_length: int = 77, num_samples: Optional[int] = None,
+                 eval_tf=None):
         self.urls = list(urls)
         self.batch_size = batch_size
         self.image_size = image_size
         self.context_length = context_length
         self.num_samples = num_samples
+        # --image-mean/std/interpolation/resize-mode overrides arrive as a
+        # prebuilt transform (data_pipeline.eval_transform_from_args)
+        self.eval_tf = eval_tf
 
     def __iter__(self):
         from cosmos_tpu.data.caption import default_caption
@@ -394,7 +398,7 @@ class WdsValLoader:
         from cosmos_tpu.data.webdataset import decode_sample, tar_to_samples
 
         tokenizer = SimpleTokenizer(context_length=self.context_length)
-        tf = EvalTransform(image_size=self.image_size)
+        tf = self.eval_tf or EvalTransform(image_size=self.image_size)
         imgs, txts = [], []
         seen = 0
         for shard in self.urls:

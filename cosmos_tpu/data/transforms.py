@@ -30,6 +30,15 @@ from PIL import Image, ImageFilter, ImageOps
 from .constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
 
 BICUBIC = Image.BICUBIC
+# checkpoint-carried interpolation names (reference transform.py:299-302
+# accepts 'bicubic' | 'bilinear' | 'random'; 'random' is a train-time
+# augmentation there and maps to bicubic for inference, same as here)
+_INTERPOLATIONS = {
+    "bicubic": Image.BICUBIC,
+    "bilinear": Image.BILINEAR,
+    "nearest": Image.NEAREST,
+    "random": Image.BICUBIC,
+}
 
 
 def _to_rgb(img: Image.Image) -> Image.Image:
@@ -222,23 +231,25 @@ class EvalTransform:
     mean: Sequence[float] = OPENAI_DATASET_MEAN
     std: Sequence[float] = OPENAI_DATASET_STD
     resize_mode: str = "shortest"
+    interpolation: str = "bicubic"   # MobileCLIP checkpoints use bilinear
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = _to_rgb(img)
         w, h = img.size
         size = self.image_size
+        interp = _INTERPOLATIONS[self.interpolation]
         if self.resize_mode == "squash":
-            img = img.resize((size, size), BICUBIC)
+            img = img.resize((size, size), interp)
         elif self.resize_mode == "longest":
             s = size / max(w, h)
             nw, nh = round(w * s), round(h * s)
-            img = img.resize((nw, nh), BICUBIC)
+            img = img.resize((nw, nh), interp)
             canvas = Image.new("RGB", (size, size))
             canvas.paste(img, ((size - nw) // 2, (size - nh) // 2))
             img = canvas
         else:  # shortest
             nw, nh, left, top = shortest_resize_crop_geometry(w, h, size)
-            img = img.resize((nw, nh), BICUBIC)
+            img = img.resize((nw, nh), interp)
             img = img.crop((left, top, left + size, top + size))
         return normalize_to_array(img, self.mean, self.std)
 
@@ -288,6 +299,20 @@ def _parse_pair(v, default):
     return tuple(float(x) for x in v)
 
 
+def eval_transform_from_args(args, image_size: int) -> "EvalTransform":
+    """EvalTransform honoring the --image-mean / --image-std /
+    --image-interpolation / --image-resize-mode overrides (reference
+    params.py:258-271, consumed through factory force_preprocess_cfg).
+    The ONE place trainer/eval code maps those flags to a transform."""
+    return EvalTransform(
+        image_size=image_size,
+        mean=tuple(getattr(args, "image_mean", None) or OPENAI_DATASET_MEAN),
+        std=tuple(getattr(args, "image_std", None) or OPENAI_DATASET_STD),
+        interpolation=getattr(args, "image_interpolation", None) or "bicubic",
+        resize_mode=getattr(args, "image_resize_mode", None) or "shortest",
+    )
+
+
 def image_transform_train(image_size: int, mean=None, std=None, aug_cfg=None,
                           as_uint8: bool = False):
     aug_cfg = dict(aug_cfg or {})
@@ -313,11 +338,15 @@ def image_transform_train(image_size: int, mean=None, std=None, aug_cfg=None,
     )
 
 
-def image_transform_eval(image_size: int, mean=None, std=None):
+def image_transform_eval(image_size: int, mean=None, std=None,
+                         interpolation: str = "bicubic",
+                         resize_mode: str = "shortest"):
     return EvalTransform(
         image_size=image_size,
         mean=mean or OPENAI_DATASET_MEAN,
         std=std or OPENAI_DATASET_STD,
+        interpolation=interpolation,
+        resize_mode=resize_mode,
     )
 
 

@@ -154,6 +154,29 @@ def init_model_params(model: CLIP, seed: int = 0) -> Dict:
     return variables["params"]
 
 
+def pretrained_preprocess_defaults(
+    model_name: str,
+    pretrained: Optional[str],
+    image_mean: Optional[Tuple[float, ...]] = None,
+    image_std: Optional[Tuple[float, ...]] = None,
+) -> Dict[str, Any]:
+    """Preprocess settings merged from the pretrained tag's registry entry
+    (reference factory.py:329-330 merge_preprocess_dict of pretrained_cfg,
+    transform.py:43-61): explicit arguments win, then the checkpoint's
+    registry entry (e.g. MobileCLIP's identity mean/std + bilinear), then
+    the OpenAI defaults."""
+    from cosmos_tpu.data.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
+    from .pretrained import get_pretrained_cfg
+
+    pcfg = get_pretrained_cfg(model_name, pretrained) if pretrained else {}
+    return {
+        "mean": tuple(image_mean or pcfg.get("mean") or OPENAI_DATASET_MEAN),
+        "std": tuple(image_std or pcfg.get("std") or OPENAI_DATASET_STD),
+        "interpolation": pcfg.get("interpolation", "bicubic"),
+        "resize_mode": pcfg.get("resize_mode", "shortest"),
+    }
+
+
 def create_model_and_transforms(
     model_name: str,
     pretrained: Optional[str] = None,
@@ -168,7 +191,6 @@ def create_model_and_transforms(
     crop_scale: float = 0.4,
     **kwargs: Any,
 ):
-    from cosmos_tpu.data.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
     from cosmos_tpu.data.transforms import (
         MulticropAugmentation,
         aug_cfg_to_dict,
@@ -178,9 +200,11 @@ def create_model_and_transforms(
 
     aug_cfg = aug_cfg_to_dict(aug_cfg)
     model, params = create_model(model_name, pretrained, precision, **kwargs)
-    mean = image_mean or OPENAI_DATASET_MEAN
-    std = image_std or OPENAI_DATASET_STD
+    pp = pretrained_preprocess_defaults(model_name, pretrained,
+                                        image_mean, image_std)
+    mean, std = pp["mean"], pp["std"]
     image_size = model.cfg.vision_cfg.image_size
+    set_model_preprocess_cfg(model, {"size": image_size, **pp})
     if use_imagecrop_aug:
         train_tf = MulticropAugmentation(
             mean=mean,
@@ -193,7 +217,9 @@ def create_model_and_transforms(
     else:
         train_tf = image_transform_train(image_size, mean=mean, std=std,
                                          aug_cfg=aug_cfg)
-    val_tf = image_transform_eval(image_size, mean=mean, std=std)
+    val_tf = image_transform_eval(image_size, mean=mean, std=std,
+                                  interpolation=pp["interpolation"],
+                                  resize_mode=pp["resize_mode"])
     return model, params, train_tf, val_tf
 
 
@@ -214,16 +240,21 @@ def create_model_from_pretrained(
     ``return_transform=False``.  (The reference returns torch modules with
     weights inside; params are explicit here.)
     """
-    from cosmos_tpu.data.constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
     from cosmos_tpu.data.transforms import image_transform_eval
 
     model, params = create_model(model_name, pretrained, precision, **kwargs)
+    pp = pretrained_preprocess_defaults(model_name, pretrained,
+                                        image_mean, image_std)
+    set_model_preprocess_cfg(
+        model, {"size": model.cfg.vision_cfg.image_size, **pp})
     if not return_transform:
         return model, params
     preprocess = image_transform_eval(
         model.cfg.vision_cfg.image_size,
-        mean=image_mean or OPENAI_DATASET_MEAN,
-        std=image_std or OPENAI_DATASET_STD,
+        mean=pp["mean"],
+        std=pp["std"],
+        interpolation=pp["interpolation"],
+        resize_mode=pp["resize_mode"],
     )
     return model, params, preprocess
 

@@ -23,7 +23,7 @@ from cosmos_tpu.data.loader import (
     WdsTrainLoader,
     collate_views,
 )
-from cosmos_tpu.data.transforms import EvalTransform, MulticropAugmentation
+from cosmos_tpu.data.transforms import MulticropAugmentation
 from cosmos_tpu.data.webdataset import expand_urls
 
 logger = logging.getLogger(__name__)
@@ -296,6 +296,10 @@ def get_data(
         num_batches = args.steps_per_epoch or max(1, num_samples // samples_per_step)
         data["train"] = DataInfo(loader, num_samples, num_batches)
 
+    from cosmos_tpu.data.transforms import eval_transform_from_args
+
+    eval_tf = eval_transform_from_args(args, image_size)
+
     if args.val_data:
         from cosmos_tpu.data.loader import WdsValLoader
 
@@ -306,6 +310,7 @@ def get_data(
             image_size=image_size,
             context_length=context_length,
             num_samples=args.val_num_samples,
+            eval_tf=eval_tf,
         )
 
     if getattr(args, "train_eval_data", None):
@@ -321,9 +326,8 @@ def get_data(
             image_size=image_size,
             context_length=context_length,
             num_samples=getattr(args, "train_val_num_samples", 5120),
+            eval_tf=eval_tf,
         )
-
-    eval_tf = EvalTransform(image_size=image_size)
 
     if args.data_root_dir:
         coco_dir = os.path.join(args.data_root_dir, "coco")

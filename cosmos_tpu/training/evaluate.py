@@ -22,7 +22,7 @@ import numpy as np
 
 from cosmos_tpu.data.datasets import RetrievalData
 from cosmos_tpu.data.loader import MapDatasetLoader
-from cosmos_tpu.data.transforms import EvalTransform
+from cosmos_tpu.data.transforms import EvalTransform, eval_transform_from_args
 from cosmos_tpu.training.retrieval import evaluate_retrieval, get_clip_metrics
 from cosmos_tpu.training.zero_shot import (
     zero_shot_classification_eval,
@@ -35,9 +35,10 @@ logger = logging.getLogger(__name__)
 class RetrievalImageDataset:
     """(eval-transformed image, raw image id) pairs for one retrieval set."""
 
-    def __init__(self, data: RetrievalData, image_size: int = 224):
+    def __init__(self, data: RetrievalData, image_size: int = 224,
+                 transform=None):
         self.data = data
-        self.transform = EvalTransform(image_size=image_size)
+        self.transform = transform or EvalTransform(image_size=image_size)
 
     def __len__(self):
         return len(self.data.image_paths)
@@ -223,6 +224,7 @@ def evaluate_model(
     mesh=None,
     zero_shot: bool = True,
     retrieval: bool = True,
+    eval_transform=None,
 ) -> Dict[str, float]:
     """Run every eval the data dict carries for one set of weights."""
     enc_image, enc_text_norm, enc_text_raw = make_encoders(model, params, mesh)
@@ -239,7 +241,8 @@ def evaluate_model(
         if retrieval and name in data:
             rd: RetrievalData = data[name]
             img_loader = MapDatasetLoader(
-                RetrievalImageDataset(rd, image_size), batch_size
+                RetrievalImageDataset(rd, image_size,
+                                      transform=eval_transform), batch_size
             )
             m = evaluate_retrieval(
                 enc_image,
@@ -340,6 +343,8 @@ def evaluate(
             model, student_params, tokenizer, data,
             prefix="", batch_size=args.batch_size, mesh=mesh,
             zero_shot=zero_shot, retrieval=retrieval,
+            eval_transform=eval_transform_from_args(
+                args, model.cfg.vision_cfg.image_size),
         )
     )
     if eval_teacher:
@@ -348,6 +353,8 @@ def evaluate(
                 model, teacher_params, tokenizer,
                 data, prefix="ema_", batch_size=args.batch_size, mesh=mesh,
                 zero_shot=zero_shot, retrieval=retrieval,
+                eval_transform=eval_transform_from_args(
+                    args, model.cfg.vision_cfg.image_size),
             )
         )
     if getattr(args, "checkpoint_path", None):

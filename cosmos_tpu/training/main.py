@@ -347,6 +347,8 @@ def main(argv=None) -> Dict:
         # otherwise it costs a full grad re-read per step — opt-in
         log_grad_norm=(args.grad_clip_norm is not None
                        or args.log_grad_norm),
+        **({"image_mean": tuple(args.image_mean)} if args.image_mean else {}),
+        **({"image_std": tuple(args.image_std)} if args.image_std else {}),
     )
     if use_gspmd:
         from cosmos_tpu.training.train import make_train_step_gspmd

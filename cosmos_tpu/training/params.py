@@ -188,6 +188,26 @@ def parse_args(args=None):
         help="accepted for launch-script parity; BN running stats are "
              "frozen by construction in this framework (PARITY.md)")
     add("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
+    # preprocessing overrides (reference params.py:258-271): train-side
+    # normalization is fused into the jitted step (TrainStepConfig
+    # image_mean/std); eval transforms honor all four via
+    # data.transforms.eval_transform_from_args
+    add("--image-mean", type=float, nargs="+", default=None, metavar="MEAN",
+        help="override the dataset image mean (e.g. 0 0 0 for MobileCLIP)")
+    add("--image-std", type=float, nargs="+", default=None, metavar="STD",
+        help="override the dataset image std")
+    add("--image-interpolation", type=str, default=None,
+        choices=("bicubic", "bilinear", "random"),
+        help="eval resize interpolation ('random' maps to bicubic at "
+             "inference, matching the reference transform.py:301)")
+    add("--image-resize-mode", type=str, default=None,
+        choices=("shortest", "longest", "squash"),
+        help="eval resize (& crop) mode")
+    add("--alpha-init-weight", type=float, default=0.8,
+        help="accepted for launch-script parity: the reference defines it "
+             "(params.py:543-546) for a 'DINOtokenwise' scheduler that "
+             "exists nowhere in its codebase — consumed by no code path "
+             "there or here")
     add("--siglip", action="store_true", default=False)
     add("--coca-caption-loss-weight", type=float, default=2.0)
     add("--coca-contrastive-loss-weight", type=float, default=1.0)
@@ -244,6 +264,10 @@ def parse_args(args=None):
         default=True,
         help="also evaluate the EMA teacher (reference evaluates both); "
              "--no-eval-teacher for student-only eval")
+    add("--use-ema-model", dest="eval_teacher", action="store_true",
+        default=argparse.SUPPRESS,
+        help="reference alias (params.py:585-588, consumed by its "
+             "clip_segmentor.py:81) for --eval-teacher")
 
     # logging
     add("--log-every-n-steps", type=int, default=100)

@@ -41,6 +41,10 @@ def parse_args(argv=None):
                    help="evaluate only the first N images (smoke)")
     p.add_argument("--student", action="store_true", default=False,
                    help="use student weights instead of the teacher")
+    p.add_argument("--use-ema-model", action="store_true", default=True,
+                   help="reference alias (its clip_segmentor.py:81); the "
+                        "EMA teacher is already the default here — pass "
+                        "--student for the online model")
     # tri-state (BooleanOptionalAction): --no-output-all etc. let a plain
     # non-COSMOS CLIP checkpoint build without the cross-modal heads —
     # store_true with default=True had no off-spelling at all

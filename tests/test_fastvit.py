@@ -426,3 +426,48 @@ def test_mobileclip_config_files_build():
         assert model.cfg.vision_cfg.timm_model_name == trunk
         assert model.cfg.vision_cfg.image_size == 256
         assert model.cfg.embed_dim == 512
+
+
+def test_mobileclip_preprocess_defaults_merge():
+    """The factory merges the pretrained tag's preprocess cfg into the
+    transforms (reference factory.py:329-330 merge_preprocess_dict):
+    MobileCLIP checkpoints carry identity mean/std + bilinear resize —
+    silently applying OpenAI normalization would corrupt every eval."""
+    from cosmos_tpu.data.constants import OPENAI_DATASET_MEAN
+    from cosmos_tpu.models.factory import pretrained_preprocess_defaults
+
+    pp = pretrained_preprocess_defaults("MobileCLIP-S1", "datacompdr")
+    assert pp["mean"] == (0.0, 0.0, 0.0)
+    assert pp["std"] == (1.0, 1.0, 1.0)
+    assert pp["interpolation"] == "bilinear"
+    assert pp["resize_mode"] == "shortest"
+    # explicit arguments win over the registry entry
+    pp = pretrained_preprocess_defaults(
+        "MobileCLIP-S1", "datacompdr", image_mean=(0.5, 0.5, 0.5))
+    assert pp["mean"] == (0.5, 0.5, 0.5)
+    assert pp["std"] == (1.0, 1.0, 1.0)
+    # a local checkpoint path (not a registry tag) keeps OpenAI defaults
+    pp = pretrained_preprocess_defaults("ViT-B-16", "/tmp/ckpt.pt")
+    assert pp["mean"] == tuple(OPENAI_DATASET_MEAN)
+    assert pp["interpolation"] == "bicubic"
+
+
+def test_eval_transform_interpolation_plumbs():
+    import numpy as np
+    from PIL import Image
+
+    from cosmos_tpu.data.transforms import image_transform_eval
+
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(80, 96, 3) * 255).astype("uint8"))
+    tf_bl = image_transform_eval(64, mean=(0.0, 0.0, 0.0),
+                                 std=(1.0, 1.0, 1.0),
+                                 interpolation="bilinear")
+    out = tf_bl(img)
+    assert out.shape[:2] == (64, 64)
+    # identity normalization keeps raw [0, 1] pixel values
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # bilinear actually differs from the bicubic default
+    tf_bc = image_transform_eval(64, mean=(0.0, 0.0, 0.0),
+                                 std=(1.0, 1.0, 1.0))
+    assert not np.allclose(out, tf_bc(img))

@@ -119,3 +119,31 @@ def test_train_eval_split_and_skip_scheduler(tmp_path):
     # codebase snapshot
     assert os.path.isfile(
         os.path.join(logs, "parity", "code", "cosmos_tpu", "__init__.py"))
+
+
+def test_image_preprocess_flags():
+    """--image-mean/--image-std/--image-interpolation/--image-resize-mode
+    (reference params.py:258-271) reach the eval transform builder."""
+    from cosmos_tpu.data.transforms import eval_transform_from_args
+
+    ns = parse_args([
+        "--image-mean", "0", "0", "0", "--image-std", "1", "1", "1",
+        "--image-interpolation", "bilinear", "--image-resize-mode", "squash",
+    ])
+    tf = ns and eval_transform_from_args(ns, 64)
+    assert tf.mean == (0.0, 0.0, 0.0)
+    assert tf.std == (1.0, 1.0, 1.0)
+    assert tf.interpolation == "bilinear"
+    assert tf.resize_mode == "squash"
+    # unset flags keep the OpenAI/bicubic defaults
+    tf2 = eval_transform_from_args(parse_args([]), 64)
+    assert tf2.interpolation == "bicubic" and tf2.resize_mode == "shortest"
+    assert tf2.mean != (0.0, 0.0, 0.0)
+
+
+def test_use_ema_model_alias():
+    """--use-ema-model (reference params.py:585-588) aliases --eval-teacher
+    without clobbering its default."""
+    assert parse_args([]).eval_teacher is True
+    assert parse_args(["--no-eval-teacher"]).eval_teacher is False
+    assert parse_args(["--use-ema-model"]).eval_teacher is True
