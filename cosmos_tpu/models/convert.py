@@ -294,7 +294,8 @@ def convert_state_dict(model, params: Dict, sd: Dict[str, Any]) -> Dict:
 # branches -> deploy convs) and the text tower maps key-for-key onto the
 # native TextTransformer.  Note the reference's own MobileCLIP path is
 # unreachable dead code there (model_configs/ ships only ViT-B-16/32);
-# this framework goes further and ships MobileCLIP-S1/S2 model configs.
+# this framework goes further and ships MobileCLIP-S1/S2/B model configs
+# (B's hybrid-ViT trunk converts via timm_model.convert_mobileclip_vit).
 # MobileCLIP-S0 (MCt convolutional text tower) stays unsupported, exactly
 # matching the reference (convert.py:184 's0 ... not currently supported').
 
@@ -396,42 +397,72 @@ def _merge_strict(ref, new, path=""):
     return {k: _merge_strict(ref[k], new.get(k), f"{path}/{k}") for k in ref}
 
 
-def convert_mobileclip(params: Dict, sd: Dict[str, Any]) -> Dict:
-    """Apple MobileCLIP checkpoint -> full param tree (S1/S2; the 'b'
-    hybrid-ViT tower and the S0 MCt text tower are detected and refused
-    with actionable errors)."""
-    from .fastvit import convert_mobileclip_image, infer_fastvit_name
+def _mc_image_head(sd, params: Dict) -> Dict[str, Any]:
+    """Apple MobileCLIP image projection -> TimmModel 'head' subtree.
 
-    if f"{_MC_IMG}patch_emb.0.block.conv.weight" in sd:
-        raise NotImplementedError(
-            "MobileCLIP-B checkpoints use Apple's hybrid-ViT image tower "
-            "(timm vision_transformer_hybrid in the reference, "
-            "convert.py:187-189); use MobileCLIP-S1/S2 or convert the "
-            "tower via a plain timm ViT export"
-        )
-    if f"{_MC_IMG}patch_embed.0.rbr_conv.0.conv.weight" not in sd:
-        raise ValueError(
-            "unrecognized MobileCLIP image tower layout (expected "
-            "image_encoder.model.patch_embed.0.rbr_conv.* FastViT keys)")
+    S1/S2 store a GlobalPool2D bare matrix at ``head.proj`` ([in, out]);
+    B stores the CVNets ViT classifier at ``classifier.proj`` /
+    ``classifier.weight`` (torch Linear orientation [out, in]).  Bare
+    matrices are oriented against the model's head-kernel shape (in !=
+    out for every released MobileCLIP, so orientation is unambiguous;
+    a square matrix falls back to the per-key convention)."""
+    target = tuple(np.shape(params["visual"]["head"]["kernel"]))
+    for base, transpose_default in (("head.proj", False),
+                                    ("classifier.proj", True),
+                                    ("head.weight", True),
+                                    ("classifier.weight", True)):
+        key = f"{_MC_IMG}{base}"
+        if key not in sd:
+            continue
+        kern = _mc_np(sd, key)
+        if kern.shape != target and kern.shape[::-1] == target:
+            kern = np.ascontiguousarray(kern.T)
+        elif kern.shape == target and kern.shape == target[::-1] \
+                and transpose_default:
+            kern = np.ascontiguousarray(kern.T)
+        head = {"kernel": kern}
+        if f"{key.rsplit('.', 1)[0]}.bias" in sd:
+            head["bias"] = _mc_np(sd, f"{key.rsplit('.', 1)[0]}.bias")
+        return head
+    raise KeyError("MobileCLIP image projection not found "
+                   "(image_encoder.model.{head,classifier}.*)")
+
+
+def convert_mobileclip(params: Dict, sd: Dict[str, Any]) -> Dict:
+    """Apple MobileCLIP checkpoint -> full param tree (S1/S2 FastViT/MCi
+    trunks and the B hybrid-ViT trunk; the S0 MCt text tower is detected
+    and refused with an actionable error, matching the reference's own
+    refusal)."""
+    from .fastvit import convert_mobileclip_image, infer_fastvit_name
+    from .timm_model import convert_mobileclip_vit
+
     if "trunk" not in params.get("visual", {}):
         raise ValueError(
-            "MobileCLIP checkpoint needs a FastViT vision tower: build "
-            "the model from the MobileCLIP-S1/S2 config "
-            "(create_model('MobileCLIP-S1'))")
+            "MobileCLIP checkpoint needs a timm-adapter vision tower: "
+            "build the model from the MobileCLIP-S1/S2/B config "
+            "(create_model('MobileCLIP-B'))")
+    if f"{_MC_IMG}patch_emb.0.block.conv.weight" in sd:
+        # MobileCLIP-B: CVNets hybrid ViT (conv stem + ViT-B/16)
+        # — reference convert.py:187-189 (fastvit=False branch)
+        from .timm_model import infer_mci_vit_name
 
-    name = infer_fastvit_name(sd, _MC_IMG)
-    visual: Dict[str, Any] = {
-        "trunk": convert_mobileclip_image(sd, name, _MC_IMG)}
-    # image projection head: GlobalPool2D bare matrix or nn.Linear
-    if f"{_MC_IMG}head.proj" in sd:
-        visual["head"] = {"kernel": _mc_np(sd, f"{_MC_IMG}head.proj")}
-    elif f"{_MC_IMG}head.weight" in sd:
-        visual["head"] = {"kernel": _mc_t(sd, f"{_MC_IMG}head.weight")}
-        if f"{_MC_IMG}head.bias" in sd:
-            visual["head"]["bias"] = _mc_np(sd, f"{_MC_IMG}head.bias")
+        if "stem0_kernel" not in params["visual"]["trunk"]:
+            raise ValueError(
+                "MobileCLIP-B checkpoint needs the hybrid-ViT vision "
+                "tower: build the model from the MobileCLIP-B config "
+                "(create_model('MobileCLIP-B'))")
+        name = infer_mci_vit_name(sd, _MC_IMG)
+        visual: Dict[str, Any] = {
+            "trunk": convert_mobileclip_vit(sd, name, _MC_IMG)}
     else:
-        raise KeyError("MobileCLIP image projection not found "
-                       "(image_encoder.model.head)")
+        if f"{_MC_IMG}patch_embed.0.rbr_conv.0.conv.weight" not in sd:
+            raise ValueError(
+                "unrecognized MobileCLIP image tower layout (expected "
+                "image_encoder.model.patch_embed.0.rbr_conv.* FastViT keys "
+                "or patch_emb.0.block.conv.* hybrid-ViT keys)")
+        name = infer_fastvit_name(sd, _MC_IMG)
+        visual = {"trunk": convert_mobileclip_image(sd, name, _MC_IMG)}
+    visual["head"] = _mc_image_head(sd, params)
 
     n_txt = len([k for k in params["text"]["transformer"]
                  if k.startswith("resblocks")])

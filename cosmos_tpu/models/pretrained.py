@@ -97,16 +97,23 @@ for _name, _path in _OPENAI_CKPTS.items():
 # Apple MobileCLIP releases (datacompdr tag, reference-analog _mccfg
 # preprocessing: identity mean/std).  load_checkpoint routes these
 # through convert.convert_mobileclip (fastvit.py fusing converter).
-for _name, _mci in (("MobileCLIP-S1", "s1"), ("MobileCLIP-S2", "s2")):
+for _name, _tags in (
+    ("MobileCLIP-S1", {"datacompdr": "s1"}),
+    ("MobileCLIP-S2", {"datacompdr": "s2"}),
+    # B's hybrid-ViT trunk (vit_base_mci_224); the LT tag is the
+    # longer-trained release (reference pretrained.py:461-463)
+    ("MobileCLIP-B", {"datacompdr": "b", "datacompdr_lt": "blt"}),
+):
     _PRETRAINED[_name] = {
-        "datacompdr": {
+        tag: {
             "url": ("https://docs-assets.developer.apple.com/ml-research/"
-                    f"datasets/mobileclip/mobileclip_{_mci}.pt"),
+                    f"datasets/mobileclip/mobileclip_{_file}.pt"),
             "mean": (0.0, 0.0, 0.0),
             "std": (1.0, 1.0, 1.0),
             "interpolation": "bilinear",
             "resize_mode": "shortest",
         }
+        for tag, _file in _tags.items()
     }
 
 

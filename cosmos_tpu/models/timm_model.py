@@ -49,16 +49,32 @@ TIMM_VIT_CONFIGS: Dict[str, Dict[str, int]] = {
     "vit_large_patch16_224": dict(patch_size=16, width=1024, layers=24, heads=16),
     "vit_large_patch14_224": dict(patch_size=14, width=1024, layers=24, heads=16),
     "vit_huge_patch14_224": dict(patch_size=14, width=1280, layers=32, heads=16),
+    # MobileCLIP-B image tower: ViT-B/16 with the CVNets MCi conv stem
+    # (3 chained kernel==stride convs, channels W/4 -> W/2 -> W) and a
+    # patch-only pos-embed table added before the CLS token
+    # (timm vision_transformer_hybrid vit_base_mci_224)
+    "vit_base_mci_224": dict(
+        patch_size=16, width=768, layers=12, heads=12,
+        stem_channels=(192, 384, 768), stem_kernels=(4, 2, 2),
+        no_embed_class=True,
+    ),
 }
 
 
 def register_timm_vit(name: str, *, patch_size: int, width: int, layers: int,
-                      heads: int, image_size: int = 224) -> None:
-    """Register an additional plain-ViT timm geometry."""
+                      heads: int, image_size: int = 224,
+                      stem_channels=None, stem_kernels=(4, 2, 2),
+                      no_embed_class: bool = False) -> None:
+    """Register an additional plain- or MCi-stem-ViT timm geometry."""
     TIMM_VIT_CONFIGS[name] = dict(
         patch_size=patch_size, width=width, layers=layers, heads=heads,
-        image_size=image_size,
+        image_size=image_size, no_embed_class=no_embed_class,
     )
+    if stem_channels is not None:
+        TIMM_VIT_CONFIGS[name].update(
+            stem_channels=tuple(stem_channels),
+            stem_kernels=tuple(stem_kernels),
+        )
 
 
 class TimmModel(nn.Module):
@@ -191,6 +207,9 @@ class TimmModel(nn.Module):
             # before pooling, no CLIP projection
             patch_bias=True,
             class_token=True,
+            stem_channels=g.get("stem_channels"),
+            stem_kernels=g.get("stem_kernels", (4, 2, 2)),
+            no_embed_class=g.get("no_embed_class", False),
             no_ln_pre=True,
             no_proj=True,
             final_ln_after_pool=False,
@@ -246,6 +265,8 @@ def infer_timm_vit_name(sd: Dict[str, Any]) -> str:
         int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
     )
     for name, g in TIMM_VIT_CONFIGS.items():
+        if "stem_channels" in g:
+            continue    # MCi-stem hybrids have no patch_embed.proj
         if g["width"] == w and g["patch_size"] == p and g["layers"] == layers:
             return name
     raise KeyError(
@@ -302,4 +323,124 @@ def convert_timm_vit(sd: Dict[str, Any], model_name: str) -> Dict[str, Any]:
             },
         }
     trunk["transformer"] = blocks
+    return jax.tree.map(jnp.asarray, trunk)
+
+
+def infer_mci_vit_name(sd: Dict[str, Any], prefix: str = "") -> str:
+    """Match an Apple hybrid-ViT (CVNets) state dict to a registered
+    MCi-stem geometry by width and block count."""
+    w = int(np.asarray(sd[f"{prefix}cls_token"]).reshape(-1).shape[0])
+    head = f"{prefix}transformer."
+    layers = 1 + max(
+        int(k[len(head):].split(".")[0]) for k in sd
+        if k.startswith(head) and ".pre_norm_mha." in k
+    )
+    for name, g in TIMM_VIT_CONFIGS.items():
+        if "stem_channels" in g and g["width"] == w and g["layers"] == layers:
+            return name
+    raise KeyError(
+        f"no registered MCi-stem ViT geometry matches width={w} "
+        f"layers={layers}; add one via register_timm_vit(stem_channels=...)"
+    )
+
+
+def convert_mobileclip_vit(sd: Dict[str, Any], model_name: str,
+                           prefix: str = "") -> Dict[str, Any]:
+    """Apple MobileCLIP-B hybrid-ViT image trunk (CVNets ViT layout, train
+    form with BN'd conv-stem ``patch_emb.{i}.block.{conv,norm}``) ->
+    TimmModel 'trunk' subtree in deploy form (stem BN fused into the conv
+    kernels at load time, like the FastViT reparameterization).
+
+    Reference analog: convert.py:187-189 routes these keys through timm's
+    vision_transformer_hybrid checkpoint_filter_fn into vit_base_mci_224;
+    here the CVNets keys map directly onto the native trunk:
+      patch_emb.i.block.conv(+norm)      -> stem{i}_kernel/bias (BN fused)
+      cls_token [1,1,W]                  -> class_embedding [W]
+      pos_embed.pos_embed.pos_embed      -> positional_embedding [N,W]
+                                            (patch-only table, no_embed_class)
+      transformer.i.pre_norm_mha.{0,1}   -> resblocks_i ln_1 / attn
+      transformer.i.pre_norm_ffn.{0,1,4} -> resblocks_i ln_2 / mlp
+      post_transformer_norm              -> ln_post
+    The classifier/head projection is handled by convert.convert_mobileclip
+    (it lives outside the trunk, as the TimmModel 'head').
+    """
+    from .fastvit import _np
+
+    g = TIMM_VIT_CONFIGS[model_name]
+    w = g["width"]
+    stem_ch = (3,) + tuple(g["stem_channels"])
+    trunk: Dict[str, Any] = {}
+    for i, _k in enumerate(g.get("stem_kernels", (4, 2, 2))):
+        p = f"{prefix}patch_emb.{i}.block"
+        wt = _np(sd, f"{p}.conv.weight")          # OIHW
+        if f"{p}.norm.weight" in sd:
+            # bias-free conv + BatchNorm -> fused deploy conv
+            gm = _np(sd, f"{p}.norm.weight")
+            bt = _np(sd, f"{p}.norm.bias")
+            mean = _np(sd, f"{p}.norm.running_mean")
+            var = _np(sd, f"{p}.norm.running_var")
+            t = gm / np.sqrt(var + 1e-5)
+            wt = wt * t[:, None, None, None]
+            bias = bt - mean * t
+        else:
+            bias = _np(sd, f"{p}.conv.bias")
+        if wt.shape[0] != stem_ch[i + 1] or wt.shape[1] != stem_ch[i]:
+            raise ValueError(
+                f"MobileCLIP-B stem conv {i}: expected "
+                f"[{stem_ch[i + 1]},{stem_ch[i]},k,k], got {wt.shape} — "
+                f"geometry mismatch with {model_name}")
+        trunk[f"stem{i}_kernel"] = np.ascontiguousarray(
+            wt.transpose(2, 3, 1, 0))
+        trunk[f"stem{i}_bias"] = np.asarray(bias)
+    trunk["class_embedding"] = _np(sd, f"{prefix}cls_token").reshape(w)
+    pe = None
+    for k in ("pos_embed.pos_embed.pos_embed", "pos_embed.pos_embed",
+              "pos_embed"):
+        if f"{prefix}{k}" in sd:
+            pe = _np(sd, f"{prefix}{k}").reshape(-1, w)
+            break
+    if pe is None:
+        raise KeyError(
+            "MobileCLIP-B positional embedding not found "
+            f"({prefix}pos_embed[.pos_embed[.pos_embed]])")
+    grid = g.get("image_size", 224) // g["patch_size"]
+    if pe.shape[0] != grid * grid:
+        raise ValueError(
+            f"MobileCLIP-B pos embed has {pe.shape[0]} rows; expected a "
+            f"patch-only table of {grid * grid} (CVNets ViT adds the pos "
+            "embed before the CLS token — a row for CLS means a different "
+            "tower variant)")
+    trunk["positional_embedding"] = pe
+    blocks: Dict[str, Any] = {}
+    for i in range(g["layers"]):
+        b = f"{prefix}transformer.{i}"
+        if f"{b}.pre_norm_mha.0.weight" not in sd:
+            raise KeyError(
+                f"MobileCLIP-B transformer block {i} not found under "
+                f"{b}.pre_norm_mha.* — trunk has fewer blocks than "
+                f"{model_name} expects")
+        blocks[f"resblocks_{i}"] = {
+            "ln_1": ln_(sd, f"{b}.pre_norm_mha.0"),
+            "ln_2": ln_(sd, f"{b}.pre_norm_ffn.0"),
+            "attn": {
+                "in_proj_kernel": _t(sd[f"{b}.pre_norm_mha.1.qkv_proj.weight"]),
+                "in_proj_bias": np.asarray(
+                    _np(sd, f"{b}.pre_norm_mha.1.qkv_proj.bias")),
+                "out_proj": {
+                    "kernel": _t(sd[f"{b}.pre_norm_mha.1.out_proj.weight"]),
+                    "bias": np.asarray(
+                        _np(sd, f"{b}.pre_norm_mha.1.out_proj.bias")),
+                },
+            },
+            "mlp": {
+                "c_fc": {"kernel": _t(sd[f"{b}.pre_norm_ffn.1.weight"]),
+                         "bias": np.asarray(
+                             _np(sd, f"{b}.pre_norm_ffn.1.bias"))},
+                "c_proj": {"kernel": _t(sd[f"{b}.pre_norm_ffn.4.weight"]),
+                           "bias": np.asarray(
+                               _np(sd, f"{b}.pre_norm_ffn.4.bias"))},
+            },
+        }
+    trunk["transformer"] = blocks
+    trunk["ln_post"] = ln_(sd, f"{prefix}post_transformer_norm")
     return jax.tree.map(jnp.asarray, trunk)

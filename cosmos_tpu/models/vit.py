@@ -197,6 +197,15 @@ class VisionTransformer(nn.Module):
     ls_init_value: Optional[float] = None
     patch_dropout_prob: float = 0.0
     no_ln_pre: bool = False
+    # MCi conv stem (timm vit_base_mci_224 / CVNets ViT, the MobileCLIP-B
+    # image tower): a chain of kernel==stride convs replaces the single
+    # patchify conv.  Deploy form — BN is fused into the kernels at
+    # convert time (timm_model.convert_mobileclip_vit).
+    stem_channels: Optional[Tuple[int, ...]] = None
+    stem_kernels: Tuple[int, ...] = (4, 2, 2)
+    # timm no_embed_class semantics (CVNets ViT ordering): pos embed is a
+    # patch-only table added BEFORE the CLS token is prepended.
+    no_embed_class: bool = False
     pos_embed_type: str = "learnable"   # 'learnable' | 'sin_cos_2d'
     pool_type: str = "tok"              # 'tok' | 'avg' | 'map' | 'none'
     class_token: bool = True            # SigLIP ViTs have no CLS token
@@ -220,19 +229,42 @@ class VisionTransformer(nn.Module):
     def setup(self):
         p, w = self.patch_size, self.width
         scale = w ** -0.5
-        # HWIO kernel layout (matches a Conv with stride=kernel=p, no bias).
-        self.conv1_kernel = self.param(
-            "conv1_kernel",
-            nn.initializers.lecun_normal(),
-            (p, p, 3, w),
-            jnp.float32,
-        )
-        if self.patch_bias:
-            self.conv1_bias = self.param(
-                "conv1_bias", nn.initializers.zeros, (w,), jnp.float32
-            )
-        else:
+        if self.stem_channels is not None:
+            chans = (3,) + tuple(self.stem_channels)
+            if chans[-1] != w:
+                raise ValueError(
+                    f"stem_channels must end at width {w}, got {chans}")
+            if int(np.prod(self.stem_kernels)) != p:
+                raise ValueError(
+                    f"stem_kernels {self.stem_kernels} must multiply to "
+                    f"patch_size {p}")
+            self.stem_kernels_p = [
+                self.param(f"stem{i}_kernel", nn.initializers.lecun_normal(),
+                           (k, k, chans[i], chans[i + 1]), jnp.float32)
+                for i, k in enumerate(self.stem_kernels)
+            ]
+            self.stem_biases_p = [
+                self.param(f"stem{i}_bias", nn.initializers.zeros,
+                           (chans[i + 1],), jnp.float32)
+                for i, _ in enumerate(self.stem_kernels)
+            ]
+            self.conv1_kernel = None
             self.conv1_bias = None
+        else:
+            # HWIO kernel layout (matches a Conv with stride=kernel=p,
+            # no bias).
+            self.conv1_kernel = self.param(
+                "conv1_kernel",
+                nn.initializers.lecun_normal(),
+                (p, p, 3, w),
+                jnp.float32,
+            )
+            if self.patch_bias:
+                self.conv1_bias = self.param(
+                    "conv1_bias", nn.initializers.zeros, (w,), jnp.float32
+                )
+            else:
+                self.conv1_bias = None
         if self.class_token:
             self.class_embedding = self.param(
                 "class_embedding",
@@ -243,7 +275,10 @@ class VisionTransformer(nn.Module):
         else:
             self.class_embedding = None
         self.num_prefix = 1 if self.class_token else 0
-        n_pos = self.grid_size[0] * self.grid_size[1] + self.num_prefix
+        n_pos = self.grid_size[0] * self.grid_size[1] + (
+            0 if self.no_embed_class else self.num_prefix)
+        if self.no_embed_class and self.pos_embed_type != "learnable":
+            raise ValueError("no_embed_class requires a learnable pos embed")
         if self.pos_embed_type == "learnable":
             self.positional_embedding = self.param(
                 "positional_embedding",
@@ -309,6 +344,25 @@ class VisionTransformer(nn.Module):
         """[B, H, W, 3] -> [B, gh*gw, width] via unfold + one matmul."""
         b, h, w, c = images.shape
         p = self.patch_size
+        if self.stem_channels is not None:
+            # MCi conv stem: every stage has kernel == stride, so each conv
+            # is exactly an unfold+matmul (non-overlapping windows) — the
+            # whole stem is 3 chained MXU matmuls with GELU between, no
+            # conv layout shuffles.  erf-GELU matches torch nn.GELU() /
+            # timm ConvStem act_layer=nn.GELU.
+            x = images
+            last = len(self.stem_kernels) - 1
+            for i, k in enumerate(self.stem_kernels):
+                bb, hh, ww, cc = x.shape
+                x = x.reshape(bb, hh // k, k, ww // k, k, cc)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    bb, hh // k, ww // k, k * k * cc)
+                kern = self.stem_kernels_p[i].reshape(k * k * cc, -1)
+                x = jnp.dot(x.astype(self.dtype), kern.astype(self.dtype))
+                x = x + self.stem_biases_p[i].astype(x.dtype)
+                if i < last:
+                    x = gelu(x)
+            return x.reshape(b, -1, self.width)
         gh, gw = h // p, w // p
         x = images.reshape(b, gh, p, gw, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
@@ -329,19 +383,29 @@ class VisionTransformer(nn.Module):
         """Returns (pooled [B, output_dim], tokens [B, N, width])."""
         b, h, w, _ = images.shape
         x = self.patchify(images)
+        dst_grid = (h // self.patch_size, w // self.patch_size)
+        if self.no_embed_class:
+            # timm no_embed_class / CVNets ViT ordering: patch-only pos
+            # table added before the CLS token is prepended
+            pe = interpolate_pos_embed(
+                self.positional_embedding, self.grid_size, dst_grid,
+                num_prefix=0,
+            )
+            x = x + pe.astype(x.dtype)[None]
         if self.class_embedding is not None:
             cls = jnp.broadcast_to(
                 self.class_embedding.astype(x.dtype)[None, None, :],
                 (b, 1, self.width),
             )
             x = jnp.concatenate([cls, x], axis=1)
-        pe = interpolate_pos_embed(
-            self.positional_embedding,
-            self.grid_size,
-            (h // self.patch_size, w // self.patch_size),
-            num_prefix=self.num_prefix,
-        )
-        x = x + pe.astype(x.dtype)[None]
+        if not self.no_embed_class:
+            pe = interpolate_pos_embed(
+                self.positional_embedding,
+                self.grid_size,
+                dst_grid,
+                num_prefix=self.num_prefix,
+            )
+            x = x + pe.astype(x.dtype)[None]
 
         if self.patch_dropout_prob > 0.0:
             # training-only (PatchDropout is identity in reference eval,

@@ -393,11 +393,14 @@ def test_mobileclip_full_convert_and_forward():
                                ref_txt.numpy(), atol=1e-4, rtol=1e-3)
 
 
-def test_mobileclip_b_and_s0_refused_with_actionable_errors():
+def test_mobileclip_wrong_tower_and_s0_refused_with_actionable_errors():
     from cosmos_tpu.models.convert import convert_mobileclip
 
+    # a B (hybrid-ViT) checkpoint against a FastViT-configured model:
+    # actionable redirect to the MobileCLIP-B config (the B trunk itself
+    # is supported — tests/test_mobileclip_b.py)
     params = {"visual": {"trunk": {}}, "text": {"transformer": {}}}
-    with pytest.raises(NotImplementedError, match="hybrid-ViT"):
+    with pytest.raises(ValueError, match="MobileCLIP-B"):
         convert_mobileclip(params, {
             "image_encoder.model.patch_emb.0.block.conv.weight": np.zeros(1)})
     # S0-style: MCi image tower but a non-transformer (MCt) text layout
