@@ -48,6 +48,7 @@ class DevicePrefetcher:
         self._src = iter(src)
         self._exc: BaseException | None = None
         self._finished = False
+        self._stop = False
         self._thread = threading.Thread(
             target=self._produce, name="device-prefetch", daemon=True
         )
@@ -56,11 +57,53 @@ class DevicePrefetcher:
     def _produce(self) -> None:
         try:
             for item in self._src:
-                self._q.put(item)
+                # bounded put that watches the stop flag, so close() can
+                # always unblock a parked producer
+                while not self._stop:
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop:
+                    return
         except BaseException as e:  # re-raised in the consumer
             self._exc = e
         finally:
-            self._q.put(_DONE)
+            while not self._stop:
+                try:
+                    self._q.put(_DONE, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self) -> None:
+        """Stop the producer and release every queued device-committed
+        batch (they pin HBM, not host memory).  For early exits — an
+        exception mid-epoch, a bench loop that stops before exhaustion.
+        Safe to call repeatedly; iteration afterwards raises
+        StopIteration.  The underlying loader iterator is left wherever
+        the producer reached — wrap a FRESH iterator per epoch rather
+        than reusing one across prefetchers."""
+        self._stop = True
+        self._finished = True
+        while self._thread.is_alive():
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.05)
+        while True:    # drop leftovers so the device buffers free now
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+
+    def __enter__(self) -> "DevicePrefetcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def __iter__(self) -> Iterator:
         return self

@@ -343,12 +343,9 @@ class CLIP(nn.Module):
                 and texts.shape[0] % b_ == 0
                 and self.text_bucket < texts.shape[1]
                 # the exactness argument needs causal attention + argmax
-                # pooling — the native tower's default semantics; SigLIP-
-                # style towers (no_causal_mask / last-pool) must not bucket
-                and not self.cfg.text_cfg.hf_model_name
-                and not self.cfg.text_cfg.embed_cls
-                and not self.cfg.text_cfg.no_causal_mask
-                and self.cfg.text_cfg.pool_type == "argmax"
+                # pooling — ONE shared gate with the eval-side EOT
+                # slicing (TextCfg.eot_truncation_exact)
+                and self.cfg.text_cfg.eot_truncation_exact
                 and texts.shape[0] - 2 * b_ >= 4
             )
             if bucket:

@@ -86,6 +86,21 @@ class TextCfg:
     hf_pooler_type: Optional[str] = None
     hf_model_config: Optional[Dict[str, Any]] = None
 
+    @property
+    def eot_truncation_exact(self) -> bool:
+        """THE gate for EOT-slicing this tower's text inputs — shared by
+        the training-side --text-bucket (models/clip.py) and the eval-side
+        truncate_to_eot (training/zero_shot.py), so the exactness rule
+        cannot drift between them.  Truncating a caption at >= eot+1
+        preserves its pooled feature iff attention is causal and pooling
+        is argmax-EOT: HF towers (bidirectional / CLS pooling), embed_cls
+        towers, and SigLIP-style towers (no_causal_mask / last-pool) must
+        encode at full context."""
+        return (not self.hf_model_name
+                and not self.embed_cls
+                and not self.no_causal_mask
+                and self.pool_type == "argmax")
+
 
 @dataclasses.dataclass
 class MultimodalCfg:

@@ -339,27 +339,12 @@ def _convert_mobileclip_text(sd, n_layers: int) -> Dict[str, Any]:
             -1, _mc_np(sd, f"{p}embedding_layer.weight").shape[1]),
         "ln_final": _mc_ln(sd, f"{p}final_layer_norm"),
     }
-    blocks: Dict[str, Any] = {}
-    for i in range(n_layers):
-        b = f"{p}transformer.{i}"
-        blocks[f"resblocks_{i}"] = {
-            "ln_1": _mc_ln(sd, f"{b}.pre_norm_mha.0"),
-            "ln_2": _mc_ln(sd, f"{b}.pre_norm_ffn.0"),
-            "attn": {
-                "in_proj_kernel": _mc_t(sd, f"{b}.pre_norm_mha.1.qkv_proj.weight"),
-                "in_proj_bias": _mc_np(sd, f"{b}.pre_norm_mha.1.qkv_proj.bias"),
-                "out_proj": {
-                    "kernel": _mc_t(sd, f"{b}.pre_norm_mha.1.out_proj.weight"),
-                    "bias": _mc_np(sd, f"{b}.pre_norm_mha.1.out_proj.bias"),
-                },
-            },
-            "mlp": {
-                "c_fc": {"kernel": _mc_t(sd, f"{b}.pre_norm_ffn.1.weight"),
-                         "bias": _mc_np(sd, f"{b}.pre_norm_ffn.1.bias")},
-                "c_proj": {"kernel": _mc_t(sd, f"{b}.pre_norm_ffn.4.weight"),
-                           "bias": _mc_np(sd, f"{b}.pre_norm_ffn.4.bias")},
-            },
-        }
+    from .convert_util import cvnets_block
+
+    blocks: Dict[str, Any] = {
+        f"resblocks_{i}": cvnets_block(sd, f"{p}transformer.{i}")
+        for i in range(n_layers)
+    }
     txt["transformer"] = blocks
     # projection: bare [width, embed] matrix (GlobalPool2D-style Parameter)
     # or an nn.Linear — accept both

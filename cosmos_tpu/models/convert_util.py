@@ -25,3 +25,25 @@ def dense_(sd: Dict[str, Any], p: str, bias: bool = True) -> Dict[str, np.ndarra
     if bias:
         out["bias"] = np.asarray(sd[f"{p}.bias"])
     return out
+
+
+def cvnets_block(sd: Dict[str, Any], b: str) -> Dict[str, Any]:
+    """CVNets/Apple TransformerEncoder block ('<b>.pre_norm_mha.{0,1}',
+    '<b>.pre_norm_ffn.{0,1,4}', qkv_proj/out_proj naming; reference
+    convert.py:154-180 key map) -> resblock param subtree.  ONE mapping
+    shared by the MobileCLIP text converter (convert.py) and the
+    MobileCLIP-B hybrid-ViT trunk converter (timm_model.py) so a fix to
+    either key map cannot miss the other."""
+    return {
+        "ln_1": ln_(sd, f"{b}.pre_norm_mha.0"),
+        "ln_2": ln_(sd, f"{b}.pre_norm_ffn.0"),
+        "attn": {
+            "in_proj_kernel": t_(sd[f"{b}.pre_norm_mha.1.qkv_proj.weight"]),
+            "in_proj_bias": np.asarray(sd[f"{b}.pre_norm_mha.1.qkv_proj.bias"]),
+            "out_proj": dense_(sd, f"{b}.pre_norm_mha.1.out_proj"),
+        },
+        "mlp": {
+            "c_fc": dense_(sd, f"{b}.pre_norm_ffn.1"),
+            "c_proj": dense_(sd, f"{b}.pre_norm_ffn.4"),
+        },
+    }

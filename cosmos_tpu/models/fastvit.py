@@ -260,13 +260,15 @@ def _np(sd, k):
     return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
 
 
-def _fuse_conv_bn(sd, prefix: str, eps: float = 1e-5):
-    """conv(bias-free)+BN branch -> (kernel OIHW, bias)."""
+def _fuse_conv_bn(sd, prefix: str, eps: float = 1e-5, norm: str = "bn"):
+    """conv(bias-free)+BN branch -> (kernel OIHW, bias).  ``norm`` names
+    the BN child ('bn' in ml-fastvit's conv_bn, 'norm' in CVNets
+    ConvLayer — the MobileCLIP-B stem, timm_model.convert_mobileclip_vit)."""
     w = _np(sd, f"{prefix}.conv.weight")
-    g_ = _np(sd, f"{prefix}.bn.weight")
-    b = _np(sd, f"{prefix}.bn.bias")
-    mean = _np(sd, f"{prefix}.bn.running_mean")
-    var = _np(sd, f"{prefix}.bn.running_var")
+    g_ = _np(sd, f"{prefix}.{norm}.weight")
+    b = _np(sd, f"{prefix}.{norm}.bias")
+    mean = _np(sd, f"{prefix}.{norm}.running_mean")
+    var = _np(sd, f"{prefix}.{norm}.running_var")
     t = g_ / np.sqrt(var + eps)
     return w * t[:, None, None, None], b - mean * t
 

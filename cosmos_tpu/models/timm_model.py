@@ -364,7 +364,7 @@ def convert_mobileclip_vit(sd: Dict[str, Any], model_name: str,
     The classifier/head projection is handled by convert.convert_mobileclip
     (it lives outside the trunk, as the TimmModel 'head').
     """
-    from .fastvit import _np
+    from .fastvit import _fuse_conv_bn, _np
 
     g = TIMM_VIT_CONFIGS[model_name]
     w = g["width"]
@@ -372,17 +372,12 @@ def convert_mobileclip_vit(sd: Dict[str, Any], model_name: str,
     trunk: Dict[str, Any] = {}
     for i, _k in enumerate(g.get("stem_kernels", (4, 2, 2))):
         p = f"{prefix}patch_emb.{i}.block"
-        wt = _np(sd, f"{p}.conv.weight")          # OIHW
         if f"{p}.norm.weight" in sd:
-            # bias-free conv + BatchNorm -> fused deploy conv
-            gm = _np(sd, f"{p}.norm.weight")
-            bt = _np(sd, f"{p}.norm.bias")
-            mean = _np(sd, f"{p}.norm.running_mean")
-            var = _np(sd, f"{p}.norm.running_var")
-            t = gm / np.sqrt(var + 1e-5)
-            wt = wt * t[:, None, None, None]
-            bias = bt - mean * t
+            # bias-free conv + BatchNorm -> fused deploy conv (the same
+            # fusion math as the FastViT branches, fastvit._fuse_conv_bn)
+            wt, bias = _fuse_conv_bn(sd, p, norm="norm")
         else:
+            wt = _np(sd, f"{p}.conv.weight")      # OIHW
             bias = _np(sd, f"{p}.conv.bias")
         if wt.shape[0] != stem_ch[i + 1] or wt.shape[1] != stem_ch[i]:
             raise ValueError(
@@ -411,6 +406,8 @@ def convert_mobileclip_vit(sd: Dict[str, Any], model_name: str,
             "embed before the CLS token — a row for CLS means a different "
             "tower variant)")
     trunk["positional_embedding"] = pe
+    from .convert_util import cvnets_block
+
     blocks: Dict[str, Any] = {}
     for i in range(g["layers"]):
         b = f"{prefix}transformer.{i}"
@@ -419,28 +416,9 @@ def convert_mobileclip_vit(sd: Dict[str, Any], model_name: str,
                 f"MobileCLIP-B transformer block {i} not found under "
                 f"{b}.pre_norm_mha.* — trunk has fewer blocks than "
                 f"{model_name} expects")
-        blocks[f"resblocks_{i}"] = {
-            "ln_1": ln_(sd, f"{b}.pre_norm_mha.0"),
-            "ln_2": ln_(sd, f"{b}.pre_norm_ffn.0"),
-            "attn": {
-                "in_proj_kernel": _t(sd[f"{b}.pre_norm_mha.1.qkv_proj.weight"]),
-                "in_proj_bias": np.asarray(
-                    _np(sd, f"{b}.pre_norm_mha.1.qkv_proj.bias")),
-                "out_proj": {
-                    "kernel": _t(sd[f"{b}.pre_norm_mha.1.out_proj.weight"]),
-                    "bias": np.asarray(
-                        _np(sd, f"{b}.pre_norm_mha.1.out_proj.bias")),
-                },
-            },
-            "mlp": {
-                "c_fc": {"kernel": _t(sd[f"{b}.pre_norm_ffn.1.weight"]),
-                         "bias": np.asarray(
-                             _np(sd, f"{b}.pre_norm_ffn.1.bias"))},
-                "c_proj": {"kernel": _t(sd[f"{b}.pre_norm_ffn.4.weight"]),
-                           "bias": np.asarray(
-                               _np(sd, f"{b}.pre_norm_ffn.4.bias"))},
-            },
-        }
+        # ONE CVNets block mapping shared with the MobileCLIP text
+        # converter (convert_util.cvnets_block)
+        blocks[f"resblocks_{i}"] = cvnets_block(sd, b)
     trunk["transformer"] = blocks
     trunk["ln_post"] = ln_(sd, f"{prefix}post_transformer_norm")
     return jax.tree.map(jnp.asarray, trunk)

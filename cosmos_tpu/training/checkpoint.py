@@ -133,18 +133,37 @@ def _localize(path: str) -> str:
     import fsspec
 
     fs, _, paths = fsspec.get_fs_token_paths(path)
-    # deterministic per-URI cache dir: repeated remote resumes reuse one
-    # snapshot instead of leaking a fresh multi-GB mkdtemp copy each time
-    # (epoch_N snapshot dirs are immutable once written, so reuse is safe)
-    tag = hashlib.sha1(str(path).encode()).hexdigest()[:16]
-    cache = Path(tempfile.gettempdir()) / "cosmos_ckpt_cache" / tag
+    # content-keyed cache dir: repeated remote resumes reuse one snapshot
+    # instead of leaking a fresh multi-GB mkdtemp copy each time, while a
+    # RE-WRITTEN snapshot at the same URI (deleted + rerun experiment)
+    # keys to a different dir — the fingerprint folds in the remote
+    # listing's names, sizes and mtimes/etags where the backend provides
+    # them, so it never silently restores stale weights
+    finger = hashlib.sha1(str(path).encode())
+    detail = fs.find(paths[0], detail=True)
+    for name in sorted(detail):
+        inf = detail[name] or {}
+        stamp = (inf.get("mtime") or inf.get("LastModified")
+                 or inf.get("ETag") or inf.get("etag") or "")
+        finger.update(f"{name}:{inf.get('size')}:{stamp}".encode())
+    tag = finger.hexdigest()[:16]
+    root = Path(tempfile.gettempdir()) / "cosmos_ckpt_cache"
+    root.mkdir(parents=True, exist_ok=True)
+    cache = root / tag
     marker = cache / ".complete"
-    if not marker.exists():
-        if cache.exists():          # interrupted prior download
-            shutil.rmtree(cache)
-        cache.mkdir(parents=True)
-        fs.get(paths[0], str(cache) + "/", recursive=True)
-        marker.touch()
+    # flock-serialized: concurrent processes resuming the same URI take
+    # turns at the check-download-mark sequence instead of rmtree'ing a
+    # half-finished download out from under each other
+    import fcntl
+
+    with open(root / f"{tag}.lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        if not marker.exists():
+            if cache.exists():      # interrupted prior download
+                shutil.rmtree(cache)
+            cache.mkdir(parents=True)
+            fs.get(paths[0], str(cache) + "/", recursive=True)
+            marker.touch()
     inner = cache / Path(paths[0]).name
     return str(inner if inner.is_dir() else cache)
 

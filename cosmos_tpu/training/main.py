@@ -51,6 +51,29 @@ def experiment_name(args) -> str:
     return "-".join(parts)
 
 
+def apply_pretrained_preprocess_flags(args) -> None:
+    """Fill any --image-* flag the user left unset from the pretrained
+    tag's registry preprocess cfg, so EVERY downstream transform consumer
+    (eval_transform_from_args, the train transforms, TrainStepConfig's
+    in-step normalization, zero-shot/retrieval eval) sees the
+    checkpoint's own preprocessing — e.g. MobileCLIP's identity
+    mean/std + bilinear.  Reference analog: factory.py:329-330
+    merge_preprocess_dict runs on its main path because the reference
+    main.py calls create_model_and_transforms; this trainer builds
+    transforms from args, so the merge happens here (explicit flags
+    still win; a non-registry --pretrained path merges nothing)."""
+    if not getattr(args, "pretrained", None):
+        return
+    from cosmos_tpu.models.pretrained import get_pretrained_cfg
+
+    pcfg = get_pretrained_cfg(args.model, args.pretrained)
+    for flag, key in (("image_mean", "mean"), ("image_std", "std"),
+                      ("image_interpolation", "interpolation"),
+                      ("image_resize_mode", "resize_mode")):
+        if getattr(args, flag, None) is None and pcfg.get(key):
+            setattr(args, flag, pcfg[key])
+
+
 def main(argv=None) -> Dict:
     from cosmos_tpu.training.params import parse_args
 
@@ -165,6 +188,7 @@ def main(argv=None) -> Dict:
         pretrained = download_pretrained_from_hf(
             args.huggingface_repo_name, args.huggingface_model_name
         )
+    apply_pretrained_preprocess_flags(args)
     model_overrides = {}
     if args.siglip:
         # SigLIP init: logit scale ln(10), bias -10 (clip_segmentor.py:35-37)
@@ -628,6 +652,24 @@ def train_one_epoch(
     t_end = time.perf_counter()
     t_window, steps_in_window = t_end, 0
     profile_remaining = getattr(args, "profile_steps", 0)
+    try:
+        state, metrics = _run_epoch_steps(
+            args, state, step_fn, batch_iter, steps_per_epoch, epoch,
+            global_batch, samples_per_step, writer, wandb_run, logger,
+            metrics, data_time, step_time, t_end, t_window,
+            steps_in_window, profile_remaining)
+    finally:
+        # an exception mid-epoch must not leave the producer thread
+        # parked on a full queue of device-committed batches (HBM)
+        if hasattr(batch_iter, "close"):
+            batch_iter.close()
+    return state, {f"train_{k}": v for k, v in metrics.items()}
+
+
+def _run_epoch_steps(args, state, step_fn, batch_iter, steps_per_epoch,
+                     epoch, global_batch, samples_per_step, writer,
+                     wandb_run, logger, metrics, data_time, step_time,
+                     t_end, t_window, steps_in_window, profile_remaining):
     for i in range(steps_per_epoch):
         if profile_remaining and i == profile_remaining:
             import jax.profiler as _prof
@@ -681,7 +723,7 @@ def train_one_epoch(
             t_window, steps_in_window = t_end, 0
         else:
             t_end = time.perf_counter()
-    return state, {f"train_{k}": v for k, v in metrics.items()}
+    return state, metrics
 
 
 if __name__ == "__main__":

@@ -82,13 +82,11 @@ def supports_eot_truncation(model) -> bool:
     (bidirectional / CLS pooling), embed_cls towers, and SigLIP-style
     towers (no_causal_mask / last-pool) must encode at full context."""
     tcfg = getattr(getattr(model, "cfg", None), "text_cfg", None)
-    return bool(
-        tcfg is not None
-        and not getattr(tcfg, "hf_model_name", None)
-        and not getattr(tcfg, "embed_cls", False)
-        and not getattr(tcfg, "no_causal_mask", False)
-        and getattr(tcfg, "pool_type", "argmax") == "argmax"
-    )
+    # the rule itself lives on TextCfg (eot_truncation_exact) so the
+    # training-side --text-bucket gate in models/clip.py cannot drift
+    # from this eval-side one
+    return bool(tcfg is not None
+                and getattr(tcfg, "eot_truncation_exact", False))
 
 
 def truncate_to_eot(tokens: np.ndarray, multiple: int = 16) -> np.ndarray:

@@ -94,4 +94,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # cache regardless of executable size; Mosaic kernels are small but slow
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # the partitionable fused-attention kernel (ops/fused_attention.py)
+    # registers jax.experimental.custom_partitioning callbacks, and the
+    # serialized module embeds their PYTHON POINTER — a fresh value every
+    # process, which silently turns every cross-process cache lookup into
+    # a miss (warmup regressed 56s -> ~900s when the wrapper landed).
+    # The callbacks are compile-time-only (SPMD propagation), so stripping
+    # them from the key is sound; the cached executable needs no pointer.
+    jax.config.update("jax_remove_custom_partitioning_ptr_from_cache_key",
+                      True)
     return cache_dir

@@ -320,3 +320,24 @@ def test_linear_text_projection_loads():
         np.asarray(out["text"]["text_projection"]["kernel"]), w.T, atol=0)
     np.testing.assert_allclose(
         np.asarray(out["text"]["text_projection"]["bias"]), b, atol=0)
+
+
+def test_remote_localize_rekeys_on_content_change(tmp_path):
+    """A re-written snapshot at the SAME URI must not restore stale
+    cached weights: the cache key folds in the remote listing."""
+    import fsspec
+
+    from cosmos_tpu.training.checkpoint import _localize
+
+    fs = fsspec.filesystem("memory")
+    fs.pipe("/rekey/epoch_1/meta.json", b'{"epoch": 1, "v": "old"}')
+    got1 = _localize("memory://rekey/epoch_1")
+    assert b"old" in open(got1 + "/meta.json", "rb").read()
+
+    # delete-and-rerun: same URI, different bytes (and size)
+    fs.pipe("/rekey/epoch_1/meta.json", b'{"epoch": 1, "v": "newer!"}')
+    got2 = _localize("memory://rekey/epoch_1")
+    assert got2 != got1
+    assert b"newer!" in open(got2 + "/meta.json", "rb").read()
+    # the unchanged listing reuses the cache dir (no fresh download)
+    assert _localize("memory://rekey/epoch_1") == got2

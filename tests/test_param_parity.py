@@ -147,3 +147,36 @@ def test_use_ema_model_alias():
     assert parse_args([]).eval_teacher is True
     assert parse_args(["--no-eval-teacher"]).eval_teacher is False
     assert parse_args(["--use-ema-model"]).eval_teacher is True
+
+
+def test_pretrained_preprocess_flags_merge_into_args():
+    """The pretrained tag's registry preprocess cfg (e.g. MobileCLIP's
+    identity mean/std + bilinear) fills unset --image-* flags on the
+    trainer path — the reference gets this from merge_preprocess_dict
+    inside create_model_and_transforms (factory.py:329-330); this
+    trainer builds transforms from args, so main.py merges into args."""
+    from cosmos_tpu.training.main import apply_pretrained_preprocess_flags
+
+    ns = parse_args(["--model", "MobileCLIP-S1",
+                     "--pretrained", "datacompdr"])
+    apply_pretrained_preprocess_flags(ns)
+    assert tuple(ns.image_mean) == (0.0, 0.0, 0.0)
+    assert tuple(ns.image_std) == (1.0, 1.0, 1.0)
+    assert ns.image_interpolation == "bilinear"
+    assert ns.image_resize_mode == "shortest"
+
+    # explicit flags win over the registry entry
+    ns = parse_args(["--model", "MobileCLIP-S1",
+                     "--pretrained", "datacompdr",
+                     "--image-mean", "0.5", "0.5", "0.5",
+                     "--image-interpolation", "bicubic"])
+    apply_pretrained_preprocess_flags(ns)
+    assert tuple(ns.image_mean) == (0.5, 0.5, 0.5)
+    assert ns.image_interpolation == "bicubic"
+    assert tuple(ns.image_std) == (1.0, 1.0, 1.0)
+
+    # a non-registry --pretrained (local path) merges nothing
+    ns = parse_args(["--model", "ViT-B-16",
+                     "--pretrained", "/tmp/ckpt.pt"])
+    apply_pretrained_preprocess_flags(ns)
+    assert ns.image_mean is None and ns.image_interpolation is None

@@ -55,3 +55,35 @@ def test_runs_ahead_of_consumer():
 def test_depth_validation():
     with pytest.raises(ValueError):
         DevicePrefetcher(iter([]), depth=0)
+
+
+def test_close_unblocks_parked_producer_and_drains():
+    """Early-exit consumers (mid-epoch exception, bench loops) must be
+    able to release the queued device-committed batches and stop the
+    producer thread instead of leaving it parked on q.put forever."""
+    import itertools
+    import time
+
+    from cosmos_tpu.data.prefetch import DevicePrefetcher
+
+    produced = []
+
+    def src():
+        for i in itertools.count():
+            produced.append(i)
+            yield i
+
+    pf = DevicePrefetcher(src(), depth=2)
+    assert next(pf) == 0
+    time.sleep(0.3)            # let the producer fill the queue and park
+    pf.close()
+    assert not pf._thread.is_alive()
+    assert pf._q.empty()
+    with pytest.raises(StopIteration):
+        next(pf)
+    pf.close()                 # idempotent
+    # the epoch wrapper: an exception mid-consumption still closes
+    pf2 = DevicePrefetcher(src(), depth=2)
+    with pf2:
+        next(pf2)
+    assert not pf2._thread.is_alive()
