@@ -183,15 +183,15 @@ def main() -> None:
         # a producer thread issues the next batches' shard_batch/H2D while
         # the current step runs — the training input path.
         # BENCH_PREFETCH=0 for the serialized A/B.
-        if int(os.environ.get("BENCH_PREFETCH", "2")):
+        prefetch_depth = int(os.environ.get("BENCH_PREFETCH", "2"))
+        if prefetch_depth:
             import itertools
 
             from cosmos_tpu.data.prefetch import DevicePrefetcher
 
             src = (shard_batch(pool[j % len(pool)], mesh, batch_axis=1)
                    for j in itertools.count())
-            pf = DevicePrefetcher(
-                src, depth=int(os.environ.get("BENCH_PREFETCH", "2")))
+            pf = DevicePrefetcher(src, depth=prefetch_depth)
 
             def next_batch(i):
                 return next(pf)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Iterable, Iterator
 
 __all__ = ["DevicePrefetcher"]
@@ -77,19 +78,27 @@ class DevicePrefetcher:
                 except queue.Full:
                     continue
 
-    def close(self) -> None:
+    def close(self, timeout: float = 2.0) -> None:
         """Stop the producer and release every queued device-committed
         batch (they pin HBM, not host memory).  For early exits — an
         exception mid-epoch, a bench loop that stops before exhaustion.
         Safe to call repeatedly; iteration afterwards raises
         StopIteration.  The underlying loader iterator is left wherever
         the producer reached — wrap a FRESH iterator per epoch rather
-        than reusing one across prefetchers."""
+        than reusing one across prefetchers.
+
+        The wait is bounded by ``timeout``: a producer parked on a full
+        queue unblocks immediately, but one blocked INSIDE the wrapped
+        iterator (a stalled shard read on a hung mount) cannot be
+        interrupted — past the deadline the daemon thread is abandoned
+        (it exits at its next stop-flag check) so cleanup never converts
+        the exception that triggered it into a deadlock."""
         self._stop = True
         self._finished = True
-        while self._thread.is_alive():
-            try:
-                self._q.get_nowait()
+        deadline = time.monotonic() + timeout
+        while self._thread.is_alive() and time.monotonic() < deadline:
+            try:  # unblock a producer parked on a full queue
+                self._q.get(timeout=0.05)
             except queue.Empty:
                 pass
             self._thread.join(timeout=0.05)

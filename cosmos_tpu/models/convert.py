@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import convert_util as _cu
+
 logger = logging.getLogger(__name__)
 
 
@@ -303,17 +305,18 @@ _MC_IMG = "image_encoder.model."
 _MC_TXT = "text_encoder."
 
 
+# key-indexed aliases over the shared layout helpers (convert_util.py):
+# the coercion/transpose logic lives in ONE place for every converter
 def _mc_np(sd, k):
-    v = sd[k]
-    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+    return _cu.np_(sd[k])
 
 
 def _mc_t(sd, k):
-    return np.ascontiguousarray(_mc_np(sd, k).T)
+    return _cu.t_(sd[k])
 
 
 def _mc_ln(sd, p):
-    return {"scale": _mc_np(sd, f"{p}.weight"), "bias": _mc_np(sd, f"{p}.bias")}
+    return _cu.ln_(sd, p)
 
 
 def _convert_mobileclip_text(sd, n_layers: int) -> Dict[str, Any]:

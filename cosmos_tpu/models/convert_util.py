@@ -8,22 +8,29 @@ from typing import Any, Dict
 import numpy as np
 
 
+def np_(v) -> np.ndarray:
+    """Coerce a checkpoint value to numpy — handles torch tensors that
+    np.asarray alone would reject (requires_grad / non-CPU) as well as
+    plain array-likes.  The ONE coercion used by every converter."""
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+
 def t_(x) -> np.ndarray:
     """torch Linear weight [out, in] -> flax Dense kernel [in, out]."""
-    return np.ascontiguousarray(np.asarray(x).T)
+    return np.ascontiguousarray(np_(x).T)
 
 
 def ln_(sd: Dict[str, Any], p: str) -> Dict[str, np.ndarray]:
     """torch LayerNorm '<p>.weight/bias' -> flax {'scale','bias'}."""
-    return {"scale": np.asarray(sd[f"{p}.weight"]),
-            "bias": np.asarray(sd[f"{p}.bias"])}
+    return {"scale": np_(sd[f"{p}.weight"]),
+            "bias": np_(sd[f"{p}.bias"])}
 
 
 def dense_(sd: Dict[str, Any], p: str, bias: bool = True) -> Dict[str, np.ndarray]:
     """torch Linear '<p>.weight[/bias]' -> flax {'kernel'[,'bias']}."""
     out = {"kernel": t_(sd[f"{p}.weight"])}
     if bias:
-        out["bias"] = np.asarray(sd[f"{p}.bias"])
+        out["bias"] = np_(sd[f"{p}.bias"])
     return out
 
 

@@ -59,6 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from . import convert_util as _cu
 from .layers import gelu
 
 Dtype = Any
@@ -256,8 +257,7 @@ class FastVit(nn.Module):
 
 
 def _np(sd, k):
-    v = sd[k]
-    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return _cu.np_(sd[k])     # shared coercion: convert_util.np_
 
 
 def _fuse_conv_bn(sd, prefix: str, eps: float = 1e-5, norm: str = "bn"):
@@ -349,7 +349,7 @@ def _ls(sd, key) -> np.ndarray:
 
 
 def _dense_t(sd, key) -> np.ndarray:
-    return np.ascontiguousarray(_np(sd, key).T)
+    return _cu.t_(sd[key])    # shared transpose: convert_util.t_
 
 
 def infer_fastvit_name(sd: Dict[str, Any], prefix: str = "") -> str:

@@ -141,11 +141,24 @@ def _localize(path: str) -> str:
     # them, so it never silently restores stale weights
     finger = hashlib.sha1(str(path).encode())
     detail = fs.find(paths[0], detail=True)
+    stamped = False
     for name in sorted(detail):
         inf = detail[name] or {}
         stamp = (inf.get("mtime") or inf.get("LastModified")
-                 or inf.get("ETag") or inf.get("etag") or "")
+                 or inf.get("ETag") or inf.get("etag")
+                 or inf.get("created") or "")
+        stamped = stamped or bool(stamp)
         finger.update(f"{name}:{inf.get('size')}:{stamp}".encode())
+    if not stamped:
+        # backend exposes no mtime/ETag at all: names+sizes cannot
+        # distinguish a deleted-and-rerun snapshot (same model shapes =>
+        # same file sizes), so caching would restore stale weights —
+        # fall back to a fresh download per resume (the pre-cache
+        # behavior; real object stores all provide stamps)
+        dest = Path(tempfile.mkdtemp(prefix="cosmos_ckpt_"))
+        fs.get(paths[0], str(dest) + "/", recursive=True)
+        inner = dest / Path(paths[0]).name
+        return str(inner if inner.is_dir() else dest)
     tag = finger.hexdigest()[:16]
     root = Path(tempfile.gettempdir()) / "cosmos_ckpt_cache"
     root.mkdir(parents=True, exist_ok=True)

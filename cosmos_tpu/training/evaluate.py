@@ -338,13 +338,14 @@ def evaluate(
                     keyword=f"ema_{kw}" if kw else "ema", epoch=epoch,
                 )
             )
+    eval_transform = eval_transform_from_args(
+        args, model.cfg.vision_cfg.image_size)
     metrics.update(
         evaluate_model(
             model, student_params, tokenizer, data,
             prefix="", batch_size=args.batch_size, mesh=mesh,
             zero_shot=zero_shot, retrieval=retrieval,
-            eval_transform=eval_transform_from_args(
-                args, model.cfg.vision_cfg.image_size),
+            eval_transform=eval_transform,
         )
     )
     if eval_teacher:
@@ -353,8 +354,7 @@ def evaluate(
                 model, teacher_params, tokenizer,
                 data, prefix="ema_", batch_size=args.batch_size, mesh=mesh,
                 zero_shot=zero_shot, retrieval=retrieval,
-                eval_transform=eval_transform_from_args(
-                    args, model.cfg.vision_cfg.image_size),
+                eval_transform=eval_transform,
             )
         )
     if getattr(args, "checkpoint_path", None):

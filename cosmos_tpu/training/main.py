@@ -653,77 +653,69 @@ def train_one_epoch(
     t_window, steps_in_window = t_end, 0
     profile_remaining = getattr(args, "profile_steps", 0)
     try:
-        state, metrics = _run_epoch_steps(
-            args, state, step_fn, batch_iter, steps_per_epoch, epoch,
-            global_batch, samples_per_step, writer, wandb_run, logger,
-            metrics, data_time, step_time, t_end, t_window,
-            steps_in_window, profile_remaining)
+        # (try/finally, not `with`: batch_iter is a plain generator when
+        # prefetch is disabled — only the prefetcher needs close())
+        for i in range(steps_per_epoch):
+            if profile_remaining and i == profile_remaining:
+                import jax.profiler as _prof
+
+                float(metrics.get("loss", 0.0))  # flush before stopping
+                try:
+                    _prof.stop_trace()
+                except RuntimeError:
+                    pass
+                args.profile_steps = 0
+                profile_remaining = 0
+            batch = next(batch_iter)
+            t_data = time.perf_counter()
+            data_time += t_data - t_end
+            state, m = step_fn(state, batch)
+            steps_in_window += 1
+            if (i % args.log_every_n_steps == 0) or (i == steps_per_epoch - 1):
+                loss = float(m["loss"])  # forces completion of the chain
+                t_step = time.perf_counter()
+                step_time += t_step - t_data
+                samples_per_sec = (
+                    samples_per_step * steps_in_window
+                    / max(t_step - t_window, 1e-9)
+                )
+                scalars = {
+                    k: float(v) for k, v in m.items()
+                }
+                logger.info(
+                    f"epoch {epoch} step {i}/{steps_per_epoch} "
+                    f"loss {loss:.4f} "
+                    + " ".join(
+                        f"{k} {v:.4g}" for k, v in scalars.items()
+                        if k != "loss"
+                    )
+                    + f" samples/s {samples_per_sec:.1f}"
+                    + f" data_t {data_time:.2f}s"
+                )
+                step_num = epoch * steps_per_epoch + i
+                if writer is not None:
+                    for k, v in scalars.items():
+                        writer.add_scalar(f"train/{k}", v, step_num)
+                    writer.add_scalar("train/samples_per_sec",
+                                      samples_per_sec, step_num)
+                if wandb_run is not None:
+                    wandb_run.log(
+                        {**{f"train/{k}": v for k, v in scalars.items()},
+                         "train/samples_per_sec": samples_per_sec},
+                        step=step_num,
+                    )
+                metrics = scalars
+                data_time = 0.0
+                t_end = time.perf_counter()
+                t_window, steps_in_window = t_end, 0
+            else:
+                t_end = time.perf_counter()
     finally:
         # an exception mid-epoch must not leave the producer thread
         # parked on a full queue of device-committed batches (HBM)
         if hasattr(batch_iter, "close"):
             batch_iter.close()
     return state, {f"train_{k}": v for k, v in metrics.items()}
-
-
-def _run_epoch_steps(args, state, step_fn, batch_iter, steps_per_epoch,
-                     epoch, global_batch, samples_per_step, writer,
-                     wandb_run, logger, metrics, data_time, step_time,
-                     t_end, t_window, steps_in_window, profile_remaining):
-    for i in range(steps_per_epoch):
-        if profile_remaining and i == profile_remaining:
-            import jax.profiler as _prof
-
-            float(metrics.get("loss", 0.0))  # flush before stopping
-            try:
-                _prof.stop_trace()
-            except RuntimeError:
-                pass
-            args.profile_steps = 0
-            profile_remaining = 0
-        batch = next(batch_iter)
-        t_data = time.perf_counter()
-        data_time += t_data - t_end
-        state, m = step_fn(state, batch)
-        steps_in_window += 1
-        if (i % args.log_every_n_steps == 0) or (i == steps_per_epoch - 1):
-            loss = float(m["loss"])  # forces completion of the chain
-            t_step = time.perf_counter()
-            step_time += t_step - t_data
-            samples_per_sec = (
-                samples_per_step * steps_in_window
-                / max(t_step - t_window, 1e-9)
-            )
-            scalars = {
-                k: float(v) for k, v in m.items()
-            }
-            logger.info(
-                f"epoch {epoch} step {i}/{steps_per_epoch} "
-                f"loss {loss:.4f} "
-                + " ".join(
-                    f"{k} {v:.4g}" for k, v in scalars.items() if k != "loss"
-                )
-                + f" samples/s {samples_per_sec:.1f} data_t {data_time:.2f}s"
-            )
-            step_num = epoch * steps_per_epoch + i
-            if writer is not None:
-                for k, v in scalars.items():
-                    writer.add_scalar(f"train/{k}", v, step_num)
-                writer.add_scalar("train/samples_per_sec", samples_per_sec,
-                                  step_num)
-            if wandb_run is not None:
-                wandb_run.log(
-                    {**{f"train/{k}": v for k, v in scalars.items()},
-                     "train/samples_per_sec": samples_per_sec},
-                    step=step_num,
-                )
-            metrics = scalars
-            data_time = 0.0
-            t_end = time.perf_counter()
-            t_window, steps_in_window = t_end, 0
-        else:
-            t_end = time.perf_counter()
-    return state, metrics
 
 
 if __name__ == "__main__":

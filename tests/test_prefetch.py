@@ -87,3 +87,30 @@ def test_close_unblocks_parked_producer_and_drains():
     with pf2:
         next(pf2)
     assert not pf2._thread.is_alive()
+
+
+def test_close_deadline_abandons_producer_blocked_in_iterator():
+    """A producer blocked INSIDE the wrapped iterator (stalled shard read
+    on a hung mount) cannot be interrupted — close() must return within
+    its deadline and surface control to the caller (so the exception
+    that triggered cleanup propagates) instead of deadlocking."""
+    import threading
+
+    gate = threading.Event()
+
+    def src():
+        yield 0
+        gate.wait()            # a stalled remote read, never returns
+        yield 1
+
+    pf = DevicePrefetcher(src(), depth=2)
+    assert next(pf) == 0
+    t0 = time.monotonic()
+    pf.close(timeout=0.5)
+    assert time.monotonic() - t0 < 2.0   # bounded, not hung
+    assert pf._q.empty()                 # queued batches released
+    with pytest.raises(StopIteration):
+        next(pf)
+    gate.set()                 # let the daemon thread exit cleanly
+    pf._thread.join(timeout=5.0)
+    assert not pf._thread.is_alive()
