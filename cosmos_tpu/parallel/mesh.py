@@ -64,11 +64,30 @@ def create_mesh(
     axis_names: Sequence[str] = (DATA_AXIS,),
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """1-D data mesh over all (or the first N) devices."""
+    """1-D data mesh over all (or the first N) devices.
+
+    When the mesh spans every device, the order comes from
+    ``mesh_utils.create_device_mesh`` rather than raw ``jax.devices()``:
+    the SigLIP ring loss ppermutes features neighbour-to-neighbour
+    (losses/contrastive.py), and a topology-aware order makes hop
+    ``i -> i+1`` a single ICI link (on multislice, only the unavoidable
+    slice-boundary hops cross DCN).  The contrastive all-gather is
+    order-insensitive.  Explicit ``devices``/``num_devices`` callers keep
+    their positional order (tests pin device identity that way).
+    """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
         devs = devs[:num_devices]
     if len(axis_names) == 1:
+        if devices is None and len(devs) == len(jax.devices()):
+            try:
+                from jax.experimental import mesh_utils
+
+                grid = mesh_utils.create_device_mesh((len(devs),),
+                                                     devices=devs)
+                return Mesh(grid, tuple(axis_names))
+            except Exception:  # unknown topology: positional order works
+                pass
         return Mesh(np.asarray(devs), tuple(axis_names))
     raise NotImplementedError("only 1-D data meshes are used for COSMOS parity")
 

@@ -50,11 +50,27 @@ _ROW_KERNELS = ("c_proj", "out_proj", "out", "w3", "head_fc2")
 
 
 def create_tp_mesh(dp: int, tp: int, devices=None) -> Mesh:
-    """(dp, tp) device mesh with axes ('data', 'model')."""
+    """(dp, tp) device mesh with axes ('data', 'model').
+
+    When the mesh spans all devices, the grid comes from
+    ``mesh_utils.create_device_mesh`` so the (minor) model axis lands on
+    physically adjacent chips — Megatron's f/g all-reduces then ride
+    single-hop ICI links instead of whatever order ``jax.devices()``
+    happens to enumerate.  An explicit ``devices`` list or a sub-mesh
+    keeps the caller's ordering (tests pin device identity that way).
+    """
     devs = list(devices if devices is not None else jax.devices())
     if dp * tp > len(devs):
         raise ValueError(
             f"mesh {dp}x{tp} needs {dp * tp} devices, have {len(devs)}")
+    if devices is None and dp * tp == len(devs):
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh((dp, tp), devices=devs)
+            return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        except Exception:  # unknown topology: positional order still works
+            pass
     grid = np.asarray(devs[: dp * tp]).reshape(dp, tp)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

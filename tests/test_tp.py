@@ -101,6 +101,21 @@ def test_mesh_validation():
         create_tp_mesh(4, 4)
 
 
+def test_meshes_are_device_permutations():
+    # topology-aware ordering (mesh_utils) may permute devices but must
+    # cover every device exactly once, for any full-device mesh shape
+    from cosmos_tpu.parallel.mesh import create_mesh
+
+    all_ids = sorted(d.id for d in jax.devices())
+    for mesh in (create_mesh(), create_tp_mesh(4, 2), create_tp_mesh(2, 4)):
+        ids = sorted(d.id for d in mesh.devices.flat)
+        assert ids == all_ids
+    # explicit device lists keep the caller's positional order
+    devs = list(jax.devices())[:4]
+    mesh = create_tp_mesh(2, 2, devices=devs)
+    assert [d.id for d in mesh.devices.flat] == [d.id for d in devs]
+
+
 def _tiny_cosmos_model():
     return create_model(
         "ViT-B-16", cosmos=True, output_all=True, attentional_pool=True,
