@@ -370,9 +370,11 @@ def _merge_strict(ref, new, path=""):
     """Replace ref leaves with converted ones, asserting shapes; every
     converted tensor must have a slot and every slot must be filled."""
     if not isinstance(ref, dict):
-        assert new is not None, f"converted checkpoint missing {path}"
-        assert tuple(np.shape(new)) == tuple(np.shape(ref)), (
-            f"shape mismatch at {path}: {np.shape(new)} vs {np.shape(ref)}")
+        if new is None:
+            raise KeyError(f"converted checkpoint missing {path}")
+        if tuple(np.shape(new)) != tuple(np.shape(ref)):
+            raise ValueError(
+                f"shape mismatch at {path}: {np.shape(new)} vs {np.shape(ref)}")
         return new
     new = new or {}
     unused = set(new) - set(ref)

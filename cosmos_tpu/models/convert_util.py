@@ -46,7 +46,7 @@ def cvnets_block(sd: Dict[str, Any], b: str) -> Dict[str, Any]:
         "ln_2": ln_(sd, f"{b}.pre_norm_ffn.0"),
         "attn": {
             "in_proj_kernel": t_(sd[f"{b}.pre_norm_mha.1.qkv_proj.weight"]),
-            "in_proj_bias": np.asarray(sd[f"{b}.pre_norm_mha.1.qkv_proj.bias"]),
+            "in_proj_bias": np_(sd[f"{b}.pre_norm_mha.1.qkv_proj.bias"]),
             "out_proj": dense_(sd, f"{b}.pre_norm_mha.1.out_proj"),
         },
         "mlp": {

@@ -72,8 +72,12 @@ def create_mesh(
     (losses/contrastive.py), and a topology-aware order makes hop
     ``i -> i+1`` a single ICI link (on multislice, only the unavoidable
     slice-boundary hops cross DCN).  The contrastive all-gather is
-    order-insensitive.  Explicit ``devices``/``num_devices`` callers keep
-    their positional order (tests pin device identity that way).
+    order-insensitive.  Ordering rule: an explicit ``devices`` list always
+    keeps its positional order (tests pin device identity that way), and so
+    does ``num_devices`` when it selects a strict prefix of the devices (a
+    partial grid has no meaningful topology).  ``num_devices`` equal to the
+    full device count is the common bench/entry spelling of "all devices"
+    and takes the same topology-aware order as the default.
     """
     devs = list(devices if devices is not None else jax.devices())
     if num_devices is not None:

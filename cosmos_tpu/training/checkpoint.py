@@ -36,6 +36,24 @@ def _ckpt_dir(base: str, epoch: int) -> Path:
     return Path(base) / f"epoch_{epoch}"
 
 
+def host_state(tree):
+    """Fetch a (possibly sharded) device pytree to host numpy.
+
+    Fully-addressable leaves are a plain ``device_get``.  Leaves that span
+    hosts (FSDP: params/moments/teacher sharded over the global data axis)
+    are allgathered into a fully-replicated host copy — that branch is a
+    COLLECTIVE, so when any leaf spans hosts EVERY process must call this
+    at the same program point (save/eval call sites in main.py do)."""
+    from jax.experimental import multihost_utils
+
+    def _get(x):
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
+
+    return jax.tree.map(_get, tree)
+
+
 def save_checkpoint(
     state,
     checkpoint_path: str,
@@ -57,11 +75,19 @@ def save_checkpoint(
             "--remote-sync s3://... (resume FROM a remote path works — "
             "restore_checkpoint downloads it)"
         )
+    # Gather BEFORE the master gate: for FSDP states (leaves sharded over
+    # the global data axis) this is a collective every process joins; the
+    # filesystem writes below stay process-0-only.  main.py calls this
+    # from every process when --fsdp runs multi-host, master-only
+    # otherwise (replicated state needs no collective).
+    host = host_state(state)
+    path = _ckpt_dir(checkpoint_path, epoch)
+    if jax.process_index() != 0:
+        return str(path)
     base = Path(checkpoint_path)
     base.mkdir(parents=True, exist_ok=True)
-    path = _ckpt_dir(checkpoint_path, epoch)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path.resolve(), jax.device_get(state), force=True)
+        ckptr.save(path.resolve(), host, force=True)
     meta = {"epoch": epoch, "name": name, "config": config or {}}
     (path / "meta.json").write_text(json.dumps(meta))
 
@@ -139,6 +165,7 @@ def _localize(path: str) -> str:
     # keys to a different dir — the fingerprint folds in the remote
     # listing's names, sizes and mtimes/etags where the backend provides
     # them, so it never silently restores stale weights
+    uri_key = hashlib.sha1(str(path).encode()).hexdigest()[:12]
     finger = hashlib.sha1(str(path).encode())
     detail = fs.find(paths[0], detail=True)
     stamped = False
@@ -159,18 +186,24 @@ def _localize(path: str) -> str:
         fs.get(paths[0], str(dest) + "/", recursive=True)
         inner = dest / Path(paths[0]).name
         return str(inner if inner.is_dir() else dest)
-    tag = finger.hexdigest()[:16]
+    # tag = <uri hash>-<content hash>: the URI prefix lets a newer snapshot
+    # of the SAME URI evict its superseded copies, bounding the cache (one
+    # live entry per distinct remote URI instead of one per rewrite)
+    tag = f"{uri_key}-{finger.hexdigest()[:16]}"
     root = Path(tempfile.gettempdir()) / "cosmos_ckpt_cache"
     root.mkdir(parents=True, exist_ok=True)
     cache = root / tag
     marker = cache / ".complete"
     # flock-serialized: concurrent processes resuming the same URI take
-    # turns at the check-download-mark sequence instead of rmtree'ing a
-    # half-finished download out from under each other
+    # turns at the check-download-evict-mark sequence instead of rmtree'ing
+    # a half-finished download out from under each other
     import fcntl
 
-    with open(root / f"{tag}.lock", "w") as lk:
+    with open(root / f"{uri_key}.lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
+        for stale in root.glob(f"{uri_key}-*"):
+            if stale.is_dir() and stale != cache:
+                shutil.rmtree(stale, ignore_errors=True)
         if not marker.exists():
             if cache.exists():      # interrupted prior download
                 shutil.rmtree(cache)
@@ -183,12 +216,14 @@ def _localize(path: str) -> str:
 
 def restore_checkpoint(state_template, path: str):
     """Restore a TrainState snapshot; returns (state, epoch).  Remote
-    paths are downloaded to a temp dir first (see _localize)."""
+    paths are downloaded to a temp dir first (see _localize).  The
+    template may be FSDP-sharded across hosts (host_state gathers it —
+    collective; main.py's resume runs on every process)."""
     import orbax.checkpoint as ocp
 
     p = Path(_localize(path))
     with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore(p.resolve(), jax.device_get(state_template))
+        state = ckptr.restore(p.resolve(), host_state(state_template))
     meta = {}
     meta_file = p / "meta.json"
     if meta_file.exists():

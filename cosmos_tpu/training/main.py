@@ -552,13 +552,28 @@ def main(argv=None) -> Dict:
             args.profile_steps = 0
 
         completed = epoch + 1
-        if (
-            args.val_frequency
-            and (completed % args.val_frequency == 0 or completed == args.epochs)
-            and is_master
-        ):
-            eval_metrics = evaluate(model, state, tokenizer, data, completed, args,
-                                    mesh=eval_mesh)
+        # --fsdp on 2+ hosts shards params/teacher across processes, so
+        # the master-only eval and the checkpoint device_get cannot see
+        # full tensors alone: every process joins an allgather first
+        # (host_state), then master proceeds as in the replicated case
+        fsdp_multihost = args.fsdp and process_count > 1
+        eval_now = args.val_frequency and (
+            completed % args.val_frequency == 0 or completed == args.epochs
+        )
+        eval_state = state
+        if eval_now and fsdp_multihost:
+            from cosmos_tpu.training.checkpoint import host_state
+
+            eval_state = state.replace(
+                params=host_state(state.params),
+                teacher_params=(
+                    host_state(state.teacher_params)
+                    if state.teacher_params is not None else None
+                ),
+            )
+        if eval_now and is_master:
+            eval_metrics = evaluate(model, eval_state, tokenizer, data,
+                                    completed, args, mesh=eval_mesh)
             all_metrics.update(eval_metrics)
             if writer is not None:
                 for k, v in eval_metrics.items():
@@ -573,10 +588,12 @@ def main(argv=None) -> Dict:
         # main.py:565: completed_epoch == args.epochs OR save_frequency
         # divides) — otherwise --epochs 10 --save-frequency 3 would train
         # to completion and silently drop the fully-trained model
-        if is_master and (
-            completed == args.epochs
-            or (args.save_frequency and completed % args.save_frequency == 0)
-        ):
+        save_now = completed == args.epochs or (
+            args.save_frequency and completed % args.save_frequency == 0
+        )
+        # FSDP multi-host: EVERY process calls save_checkpoint — the
+        # allgather inside is a collective; writes stay process-0-gated
+        if save_now and (is_master or fsdp_multihost):
             save_checkpoint(
                 state,
                 args.checkpoint_path,

@@ -1,6 +1,8 @@
 """Checkpoint conversion tests: round-trip bijection and torch-oracle
 numerics parity for the attention/LayerNorm building blocks."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -341,3 +343,9 @@ def test_remote_localize_rekeys_on_content_change(tmp_path):
     assert b"newer!" in open(got2 + "/meta.json", "rb").read()
     # the unchanged listing reuses the cache dir (no fresh download)
     assert _localize("memory://rekey/epoch_1") == got2
+    # superseded snapshots of the SAME URI are evicted (bounded cache) ...
+    assert not os.path.exists(got1)
+    # ... while other URIs' entries are untouched
+    fs.pipe("/rekey/epoch_2/meta.json", b'{"epoch": 2}')
+    got3 = _localize("memory://rekey/epoch_2")
+    assert os.path.exists(got2) and os.path.exists(got3)
