@@ -51,6 +51,31 @@ class ClipLoss:
     gather_with_grad: bool = True  # exact gradient; reference default is the
     # no-grad gather + local splice approximation (loss.py:54-63)
     axis_name: Optional[str] = None
+    # multislice (SURVEY §2.3 "keep the contrastive gather ICI-local per
+    # slice"): with ``slice_axis`` set, axis_name is the INTRA-slice (ICI)
+    # axis and slice_axis the cross-slice (DCN) axis of a 2-D
+    # ('slice','data') mesh.  gather_scope='global' runs the gather
+    # hierarchically — one ICI all-gather within each slice, then ONE
+    # exchange of the already-concatenated [V, B_slice, D] blocks over
+    # DCN (fewer, larger DCN messages than a flat gather over a combined
+    # axis; loss identical to the flat form).  gather_scope='slice' skips
+    # DCN entirely: negatives stay slice-local (a modeling choice — the
+    # per-slice loss is a CLIP loss at global-batch/n_slices scale; the
+    # grad pmean in the train step still averages across slices).
+    slice_axis: Optional[str] = None
+    gather_scope: str = "global"
+
+    def __post_init__(self):
+        if self.gather_scope not in ("global", "slice"):
+            raise ValueError(
+                f"gather_scope must be 'global' or 'slice', "
+                f"got {self.gather_scope!r}")
+        if self.slice_axis is not None and not self.gather_with_grad:
+            # the no-grad splice's rank bookkeeping has no hierarchical
+            # spelling worth keeping (it is the reference's approximation
+            # path); the exact-grad gather is the default and composes
+            raise ValueError(
+                "multislice (slice_axis) requires gather_with_grad=True")
 
     def _gather(self, x: jax.Array) -> jax.Array:
         """All-gather along the batch axis of a [V, B, D] array -> [V, Bg, D]."""
@@ -58,6 +83,11 @@ class ClipLoss:
             return x
         g = x if self.gather_with_grad else jax.lax.stop_gradient(x)
         gathered = jax.lax.all_gather(g, self.axis_name, axis=1, tiled=True)
+        if self.slice_axis is not None and self.gather_scope == "global":
+            # hierarchical stage 2: slice blocks over DCN, slice-major
+            # concatenation (labels account for it in _labels)
+            gathered = jax.lax.all_gather(
+                gathered, self.slice_axis, axis=1, tiled=True)
         if not self.gather_with_grad and not self.local_loss:
             # splice the local (grad-carrying) block back in (loss.py:58-61)
             rank = jax.lax.axis_index(self.axis_name)
@@ -70,7 +100,12 @@ class ClipLoss:
     def _labels(self, num_logits: int) -> jax.Array:
         labels = jnp.arange(num_logits, dtype=jnp.int32)
         if self.axis_name is not None and self.local_loss:
-            labels = labels + num_logits * jax.lax.axis_index(self.axis_name)
+            rank = jax.lax.axis_index(self.axis_name)
+            if self.slice_axis is not None and self.gather_scope == "global":
+                # global row index under slice-major concatenation
+                rank = rank + jax.lax.axis_size(self.axis_name) \
+                    * jax.lax.axis_index(self.slice_axis)
+            labels = labels + num_logits * rank
         return labels
 
     def __call__(
@@ -133,12 +168,16 @@ class COSMOSLoss:
     local_loss: bool = False
     gather_with_grad: bool = True
     axis_name: Optional[str] = None
+    slice_axis: Optional[str] = None
+    gather_scope: str = "global"
 
     def __post_init__(self):
         self.clip_loss = ClipLoss(
             local_loss=self.local_loss,
             gather_with_grad=self.gather_with_grad,
             axis_name=self.axis_name,
+            slice_axis=self.slice_axis,
+            gather_scope=self.gather_scope,
         )
 
     def __call__(
@@ -185,12 +224,16 @@ class CoCaLoss:
     local_loss: bool = False
     gather_with_grad: bool = True
     axis_name: Optional[str] = None
+    slice_axis: Optional[str] = None
+    gather_scope: str = "global"
 
     def __post_init__(self):
         self.clip_loss = ClipLoss(
             local_loss=self.local_loss,
             gather_with_grad=self.gather_with_grad,
             axis_name=self.axis_name,
+            slice_axis=self.slice_axis,
+            gather_scope=self.gather_scope,
         )
 
     def __call__(

@@ -20,8 +20,11 @@ placement instead of a wrapper class hierarchy.
 
 Composition: FSDP shards over 'data'; tensor parallelism
 (``parallel/tp.py``) shards over 'model'.  They compose on a 2-D mesh by
-applying the fsdp spec to the dims tp left unsharded — not wired in yet;
-``--fsdp`` currently requires a 1-D data mesh (validated in main.py).
+applying the fsdp split to the dims tp left unsharded
+(``fsdp_tp_spec`` below) — ``--fsdp --mesh-shape dp,tp`` trains with
+params/moments/teacher sharded over BOTH axes (ZeRO-3 within each
+model-parallel group, Megatron across it), the TPU spelling of
+torch's FSDP(ShardingStrategy.HYBRID_SHARD)+TP composition.
 """
 
 from __future__ import annotations
@@ -60,10 +63,57 @@ def fsdp_spec(leaf, n_shards: int, min_size: int = FSDP_MIN_SIZE) -> P:
 
 def fsdp_param_shardings(params: Dict[str, Any], mesh: Mesh,
                          min_size: int = FSDP_MIN_SIZE):
-    """Tree of NamedShardings implementing fsdp_spec over the mesh."""
+    """Tree of NamedShardings implementing fsdp_spec over the mesh.
+
+    On a 2-D (data, model) mesh this is the FSDP x TP composition:
+    every leaf first takes its Megatron placement (tp_spec), then its
+    largest TP-unsharded dim is split over 'data'."""
+    from .tp import MODEL_AXIS
+
+    if MODEL_AXIS in mesh.shape:
+        return fsdp_tp_param_shardings(params, mesh, min_size)
     n = mesh.shape[DATA_AXIS]
     return jax.tree.map(
         lambda leaf: NamedSharding(mesh, fsdp_spec(leaf, n, min_size)),
+        params,
+    )
+
+
+def fsdp_tp_spec(path, leaf, n_data: int, tp: int,
+                 min_size: int = FSDP_MIN_SIZE) -> P:
+    """Composed FSDP x TP placement for one leaf on a (data, model) mesh.
+
+    Start from the Megatron spec (tp_spec); then shard the largest dim
+    TP left unsharded over 'data' — ZeRO-3 within each model-parallel
+    group.  The min-size guard applies to the PER-TP-SHARD size: a leaf
+    already split tp ways may no longer be worth a second collective.
+    """
+    from .tp import tp_spec
+
+    base = tp_spec(path, leaf)
+    tp_used = any(ax is not None for ax in base)
+    per_shard = leaf.size // (tp if tp_used else 1)
+    if leaf.ndim == 0 or per_shard < min_size:
+        return base
+    spec = list(base) + [None] * (leaf.ndim - len(base))
+    free = [d for d in range(leaf.ndim) if spec[d] is None]
+    for d in sorted(free, key=lambda d: leaf.shape[d], reverse=True):
+        if leaf.shape[d] % n_data == 0:
+            spec[d] = DATA_AXIS
+            return P(*spec)
+    return base
+
+
+def fsdp_tp_param_shardings(params: Dict[str, Any], mesh: Mesh,
+                            min_size: int = FSDP_MIN_SIZE):
+    """Tree of NamedShardings implementing fsdp_tp_spec over a 2-D mesh."""
+    from .tp import MODEL_AXIS
+
+    n = mesh.shape[DATA_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, fsdp_tp_spec(path, leaf, n, tp, min_size)),
         params,
     )
 

@@ -25,6 +25,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
+# multislice: the leading mesh axis that crosses DCN (slice boundaries);
+# DATA_AXIS then rides ICI within each slice
+SLICE_AXIS = "slice"
+
+
+def data_axes(mesh: Mesh):
+    """The mesh axes the batch dim shards over: ('slice','data') on a
+    multislice mesh, ('data',) otherwise."""
+    return ((SLICE_AXIS, DATA_AXIS) if SLICE_AXIS in mesh.shape
+            else (DATA_AXIS,))
 
 
 def init_distributed(
@@ -90,16 +100,61 @@ def create_mesh(
                 grid = mesh_utils.create_device_mesh((len(devs),),
                                                      devices=devs)
                 return Mesh(grid, tuple(axis_names))
-            except Exception:  # unknown topology: positional order works
-                pass
+            except Exception as e:  # unknown topology: positional order works
+                logger.info(
+                    "topology-aware device order unavailable (%r); "
+                    "falling back to positional order — the ppermute "
+                    "ring may cross more than one ICI link per hop", e)
         return Mesh(np.asarray(devs), tuple(axis_names))
     raise NotImplementedError("only 1-D data meshes are used for COSMOS parity")
 
 
+def create_multislice_mesh(
+    n_slices: int,
+    per_slice: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """2-D ('slice', 'data') mesh factoring the data axis by slice.
+
+    On real multislice TPU hardware ``mesh_utils.create_hybrid_device_mesh``
+    lays the 'slice' axis across the DCN-connected slices and 'data'
+    within each slice's ICI torus; contrastive gathers then run
+    hierarchically (losses/contrastive.py ``slice_axis``): one ICI
+    all-gather per slice, then one DCN exchange of the already-
+    concatenated slice blocks — or no DCN at all with
+    ``--gather-scope slice``.  Off multislice hardware (tests, the CPU
+    dryrun) the factorization is positional.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if per_slice is None:
+        if len(devs) % n_slices:
+            raise ValueError(
+                f"{len(devs)} devices do not factor into {n_slices} slices")
+        per_slice = len(devs) // n_slices
+    if n_slices * per_slice > len(devs):
+        raise ValueError(
+            f"mesh {n_slices}x{per_slice} needs {n_slices * per_slice} "
+            f"devices, have {len(devs)}")
+    if devices is None and n_slices * per_slice == len(devs):
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (1, per_slice), (n_slices, 1), devices=devs)
+            return Mesh(grid, (SLICE_AXIS, DATA_AXIS))
+        except Exception as e:  # single-slice/CPU: positional factoring
+            logger.info(
+                "hybrid device mesh unavailable (%r); using positional "
+                "slice factoring", e)
+    grid = np.asarray(devs[: n_slices * per_slice]).reshape(
+        n_slices, per_slice)
+    return Mesh(grid, (SLICE_AXIS, DATA_AXIS))
+
+
 def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
-    """Shard the batch dimension over the data axis."""
+    """Shard the batch dimension over the data (and slice) axes."""
     spec = [None] * (batch_axis + 1)
-    spec[batch_axis] = DATA_AXIS
+    spec[batch_axis] = data_axes(mesh)
     return NamedSharding(mesh, P(*spec))
 
 
@@ -119,10 +174,12 @@ def shard_batch(batch: dict, mesh: Mesh, batch_axis: int = 1) -> dict:
     and drop the remote rows)."""
     multiprocess = jax.process_count() > 1
 
+    axes = data_axes(mesh)
+
     def _put(x):
         spec = [None] * x.ndim
         if x.ndim > batch_axis:
-            spec[batch_axis] = DATA_AXIS
+            spec[batch_axis] = axes
         sharding = NamedSharding(mesh, P(*spec))
         if multiprocess:
             return jax.make_array_from_process_local_data(

@@ -47,6 +47,17 @@ def host_state(tree):
     from jax.experimental import multihost_utils
 
     def _get(x):
+        # A fully-REPLICATED array is not fully addressable in a
+        # multi-host run, yet every host already holds a complete copy —
+        # device_get is a local-shard read, no program launch.  Entering
+        # process_allgather for it would launch a jitted gather over the
+        # GLOBAL device assignment, which is only defined when every
+        # process calls it — but main.py saves master-only for
+        # replicated (non-GSPMD) states, so that branch would hang the
+        # first checkpoint save.  Allgather only what is genuinely
+        # sharded across hosts (FSDP/TP leaves).
+        if getattr(x, "is_fully_replicated", True):
+            return jax.device_get(x)
         if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
             return multihost_utils.process_allgather(x, tiled=True)
         return jax.device_get(x)
@@ -201,8 +212,18 @@ def _localize(path: str) -> str:
 
     with open(root / f"{uri_key}.lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
+        # evict superseded snapshots of this URI — but only after a grace
+        # period: the flock covers localization, not the Orbax restore
+        # that follows it, so a concurrent process may still be READING a
+        # dir this process would supersede.  One hour comfortably bounds
+        # a restore; until then at most one extra copy per rewrite lives
+        # in the cache.
+        import time
+
+        now = time.time()
         for stale in root.glob(f"{uri_key}-*"):
-            if stale.is_dir() and stale != cache:
+            if (stale.is_dir() and stale != cache
+                    and now - stale.stat().st_mtime > 3600):
                 shutil.rmtree(stale, ignore_errors=True)
         if not marker.exists():
             if cache.exists():      # interrupted prior download

@@ -129,24 +129,41 @@ def main(argv=None) -> Dict:
     # "dp,tp" = 2-D (data, model) mesh — GSPMD tensor-parallel training
     # (train.make_train_step_gspmd, parallel/tp.py weight placement)
     tp_size = 1
+    num_slices = getattr(args, "num_slices", 1) or 1
     if args.mesh_shape and "," in args.mesh_shape:
         dp_s, tp_s = args.mesh_shape.split(",")
         tp_size = int(tp_s)
+        if num_slices > 1:
+            raise ValueError(
+                "--num-slices composes with the 1-D data mesh only; "
+                "drop the ',tp' --mesh-shape")
         if tp_size > 1:
             from cosmos_tpu.parallel.tp import create_tp_mesh
 
             mesh = create_tp_mesh(int(dp_s), tp_size)
         else:
             mesh = create_mesh(int(dp_s))
+    elif num_slices > 1:
+        from cosmos_tpu.parallel.mesh import create_multislice_mesh
+
+        mesh = create_multislice_mesh(
+            num_slices,
+            (int(args.mesh_shape) // num_slices if args.mesh_shape
+             else None),
+        )
     else:
         mesh = create_mesh(
             int(args.mesh_shape) if args.mesh_shape else None
         )
-    if args.fsdp and tp_size > 1:
+    # FSDP rides the same GSPMD step as TP training: placement-only
+    # change.  --fsdp with a 2-D 'dp,tp' mesh composes them
+    # (parallel/fsdp.py fsdp_tp_spec: ZeRO-3 over 'data' on the dims
+    # Megatron leaves unsharded).
+    if args.fsdp and num_slices > 1:
         raise ValueError(
-            "--fsdp composes with a 1-D data mesh only for now; drop the "
-            "',tp' mesh-shape or the flag (parallel/fsdp.py docstring)")
-    # FSDP rides the same GSPMD step as TP training: placement-only change
+            "--fsdp (GSPMD global-batch step) does not compose with "
+            "--num-slices (shard_map hierarchical-gather step) yet; "
+            "pick one")
     use_gspmd = tp_size > 1 or args.fsdp
     local_device_count = jax.local_device_count()
     logger.info(
@@ -359,6 +376,7 @@ def main(argv=None) -> Dict:
         coca_pad_id=getattr(model, "pad_id", 0),
         local_loss=args.local_loss,
         gather_with_grad=args.gather_with_grad,
+        gather_scope=getattr(args, "gather_scope", "global"),
         momentum_schedule=momentum_schedule,
         fix_momentum=args.fix_momentum,
         momentum_teacher=args.momentum_teacher,
@@ -552,16 +570,19 @@ def main(argv=None) -> Dict:
             args.profile_steps = 0
 
         completed = epoch + 1
-        # --fsdp on 2+ hosts shards params/teacher across processes, so
-        # the master-only eval and the checkpoint device_get cannot see
-        # full tensors alone: every process joins an allgather first
-        # (host_state), then master proceeds as in the replicated case
-        fsdp_multihost = args.fsdp and process_count > 1
+        # any GSPMD sharding (--fsdp OR tensor parallelism) on 2+ hosts
+        # shards params/teacher across processes, so the master-only eval
+        # and the checkpoint device_get cannot see full tensors alone:
+        # every process joins an allgather first (host_state), then
+        # master proceeds as in the replicated case.  Gating on fsdp
+        # alone would leave a TP multi-host run saving from one process
+        # while host_state runs a real collective — a distributed hang.
+        gspmd_multihost = use_gspmd and process_count > 1
         eval_now = args.val_frequency and (
             completed % args.val_frequency == 0 or completed == args.epochs
         )
         eval_state = state
-        if eval_now and fsdp_multihost:
+        if eval_now and gspmd_multihost:
             from cosmos_tpu.training.checkpoint import host_state
 
             eval_state = state.replace(
@@ -591,9 +612,9 @@ def main(argv=None) -> Dict:
         save_now = completed == args.epochs or (
             args.save_frequency and completed % args.save_frequency == 0
         )
-        # FSDP multi-host: EVERY process calls save_checkpoint — the
+        # GSPMD multi-host: EVERY process calls save_checkpoint — the
         # allgather inside is a collective; writes stay process-0-gated
-        if save_now and (is_master or fsdp_multihost):
+        if save_now and (is_master or gspmd_multihost):
             save_checkpoint(
                 state,
                 args.checkpoint_path,

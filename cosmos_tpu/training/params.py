@@ -298,8 +298,22 @@ def parse_args(args=None):
         help="FSDP/ZeRO placement (parallel/fsdp.py): shard params, "
              "grads, Adam moments and the EMA teacher over the data axis "
              "via the GSPMD step — per-chip stateful memory drops ~Nx. "
-             "For towers whose optimizer state outgrows one chip; "
-             "1-D data mesh only (not yet composed with a ,tp mesh)")
+             "Composes with a 'dp,tp' --mesh-shape (fsdp_tp_spec: "
+             "ZeRO-3 over 'data' on the dims Megatron leaves unsharded)")
+
+    add("--num-slices", type=int, default=1,
+        help="multislice: factor the data mesh into ('slice','data') "
+             "with this many DCN-connected slices "
+             "(parallel/mesh.create_multislice_mesh); the contrastive "
+             "gather then runs hierarchically (ICI within each slice, "
+             "one block exchange over DCN) — see --gather-scope")
+    add("--gather-scope", type=str, default="global",
+        choices=["global", "slice"],
+        help="multislice contrastive-gather scope: 'global' = "
+             "hierarchical ICI-then-DCN gather (loss identical to flat "
+             "single-axis DP); 'slice' = negatives stay within each "
+             "slice — zero DCN traffic in the loss (grad reduction "
+             "still spans slices)")
 
     # TPU / mesh
     add("--mesh-shape", type=str, default=None,

@@ -332,6 +332,11 @@ class TrainStepConfig:
     coca_pad_id: int = 0
     local_loss: bool = False
     gather_with_grad: bool = True
+    # multislice contrastive-gather scope (losses/contrastive.py):
+    # 'global' = hierarchical ICI-then-DCN gather, loss identical to the
+    # flat single-axis form; 'slice' = negatives stay within each slice
+    # (zero DCN traffic in the loss).  Ignored on 1-D meshes.
+    gather_scope: str = "global"
     momentum_schedule: Optional[Callable] = None   # step -> momentum
     fix_momentum: bool = True
     momentum_teacher: float = 0.999
@@ -371,7 +376,8 @@ class TrainStepConfig:
 
 
 def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
-                axis_name: Optional[str]):
+                axis_name: Optional[str],
+                slice_axis: Optional[str] = None):
     """Shared step builder: the pure (state, batch[, dist_params]) ->
     (state, metrics) function.  ``axis_name=DATA_AXIS`` is the shard_map
     per-device form (losses gather features over the named axis,
@@ -388,11 +394,19 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
         # reference asserts accum_freq == 1 for distillation (main.py:236);
         # CoCa accumulation would need the caption-CE denominators split
         raise ValueError("accum_freq > 1 unsupported with distill/coca")
+    if slice_axis is not None and cfg.siglip:
+        # the ppermute negatives ring is a 1-D-axis concept; on
+        # multislice the ring would need a hierarchical rewrite — refuse
+        # rather than silently ring across DCN every hop
+        raise ValueError("siglip is unsupported on a multislice "
+                         "('slice','data') mesh")
     if cfg.cosmos:
         loss_obj = COSMOSLoss(
             local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad,
             axis_name=axis_name,
+            slice_axis=slice_axis,
+            gather_scope=cfg.gather_scope,
         )
     elif cfg.siglip:
         # pairwise sigmoid loss with the ppermute negatives ring
@@ -402,6 +416,8 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
             local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad,
             axis_name=axis_name,
+            slice_axis=slice_axis,
+            gather_scope=cfg.gather_scope,
         )
     elif cfg.coca:
         loss_obj = CoCaLoss(
@@ -411,12 +427,16 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
             local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad,
             axis_name=axis_name,
+            slice_axis=slice_axis,
+            gather_scope=cfg.gather_scope,
         )
     else:
         loss_obj = ClipLoss(
             local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad,
             axis_name=axis_name,
+            slice_axis=slice_axis,
+            gather_scope=cfg.gather_scope,
         )
 
     mean = jnp.asarray(cfg.image_mean, jnp.float32) * 255.0
@@ -446,6 +466,8 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
         r = jax.random.fold_in(r, step)
         if axis_name is not None:   # per-device streams under shard_map
             r = jax.random.fold_in(r, jax.lax.axis_index(axis_name))
+            if slice_axis is not None:
+                r = jax.random.fold_in(r, jax.lax.axis_index(slice_axis))
         if micro_idx is not None:   # per-microbatch streams under accum
             r = jax.random.fold_in(r, micro_idx)
         return {"rngs": {"patch_drop": r}}
@@ -694,12 +716,18 @@ def _build_step(model, optimizer, cfg: TrainStepConfig, dist_model,
                 cfg.frozen, grads,
             )
         if axis_name is not None:
-            # shard_map per-device form: average across the data axis.
+            # shard_map per-device form: average across the data axis —
+            # and the slice axis on a multislice mesh (data parallelism
+            # spans slices whatever the gather scope; this is the one
+            # unavoidable DCN collective, and it is bandwidth-friendly:
+            # one reduce per step of grad-sized payload).
             # (GSPMD form: the loss already saw the global batch; XLA
             # derives every cross-device reduction from the shardings.)
-            grads = jax.lax.pmean(grads, axis_name)
-            total = jax.lax.pmean(total, axis_name)
-            aux = {k: jax.lax.pmean(v, axis_name)
+            red_axes = (axis_name,) if slice_axis is None \
+                else (slice_axis, axis_name)
+            grads = jax.lax.pmean(grads, red_axes)
+            total = jax.lax.pmean(total, red_axes)
+            aux = {k: jax.lax.pmean(v, red_axes)
                    for k, v in aux.items()}
 
         # EMA with PRE-update student params (reference ordering).
@@ -762,11 +790,16 @@ def make_train_step(
       local_images  [n, B, h, w, 3]   (optional)
       texts         [k, B, L] int32
     """
-    _step = _build_step(model, optimizer, cfg, dist_model, DATA_AXIS)
+    from cosmos_tpu.parallel.mesh import SLICE_AXIS, data_axes
 
+    slice_axis = SLICE_AXIS if SLICE_AXIS in mesh.shape else None
+    _step = _build_step(model, optimizer, cfg, dist_model, DATA_AXIS,
+                        slice_axis)
+
+    axes = data_axes(mesh)   # ('slice','data') on a multislice mesh
     batch_axis = 2 if cfg.accum_freq > 1 else 1
     batch_spec = (
-        P(None, None, DATA_AXIS) if cfg.accum_freq > 1 else P(None, DATA_AXIS)
+        P(None, None, axes) if cfg.accum_freq > 1 else P(None, axes)
     )  # prefix spec: the batch axis of every leaf
     if cfg.distill:
         sharded_step = shard_map(

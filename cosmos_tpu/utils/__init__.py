@@ -103,4 +103,55 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     # them from the key is sound; the cached executable needs no pointer.
     jax.config.update("jax_remove_custom_partitioning_ptr_from_cache_key",
                       True)
+    _stabilize_mosaic_cache_key()
     return cache_dir
+
+
+_MOSAIC_KEY_PATCHED = False
+
+
+def _stabilize_mosaic_cache_key() -> None:
+    """Strip debug locations from Mosaic (Pallas) kernel payloads so the
+    persistent-cache key is call-site independent.
+
+    The cache key canonicalizes the StableHLO module with a
+    strip-debuginfo pass, but a ``tpu_custom_call``'s backend_config
+    embeds the SERIALIZED MOSAIC MODULE — including ``loc()`` info for
+    every kernel op, which under jax's default
+    include_full_tracebacks_in_locations carries the whole Python call
+    stack (entry-script path + line numbers).  Any edit that shifts a
+    line, or a different entry point (pytest vs bench.py vs -c), changes
+    those bytes and silently misses the cache even though the program is
+    identical — measured as the r4 warmup regression (56s -> 389s: every
+    driver bench recompiled a 296 MB executable).  Verified by
+    byte-diffing the canonicalized key IR of two processes: the ONLY
+    difference was the entry-script path inside the 36 kernel payloads.
+
+    The fix runs strip-debuginfo on (a clone of) the Mosaic module right
+    before mosaic-serde serializes it.  Locations in the payload exist
+    for kernel-compile diagnostics only — the compiled executable is
+    unaffected."""
+    global _MOSAIC_KEY_PATCHED
+    if _MOSAIC_KEY_PATCHED:
+        return
+    try:
+        from jax._src import tpu_custom_call as _tcc
+        from jax._src.lib.mlir import passmanager as _pm
+    except ImportError:  # pallas/tpu internals moved: fall back gracefully
+        return
+
+    _orig = _tcc._lower_mosaic_module_to_asm
+
+    def _stripped(module, **kw):
+        try:
+            # in place: this module exists to be serialized right here,
+            # and its locations feed diagnostics only
+            with module.context:
+                _pm.PassManager.parse(
+                    "builtin.module(strip-debuginfo)").run(module.operation)
+        except Exception:   # diagnostics-only path: never block lowering
+            pass
+        return _orig(module, **kw)
+
+    _tcc._lower_mosaic_module_to_asm = _stripped
+    _MOSAIC_KEY_PATCHED = True

@@ -343,7 +343,16 @@ def test_remote_localize_rekeys_on_content_change(tmp_path):
     assert b"newer!" in open(got2 + "/meta.json", "rb").read()
     # the unchanged listing reuses the cache dir (no fresh download)
     assert _localize("memory://rekey/epoch_1") == got2
-    # superseded snapshots of the SAME URI are evicted (bounded cache) ...
+    # superseded snapshots survive a grace period (a concurrent reader's
+    # Orbax restore may still be inside them) ...
+    assert os.path.exists(got1)
+    # ... and are evicted once out of grace (bounded cache): backdate the
+    # stale dir past the 1h window and re-localize
+    from pathlib import Path as _P
+
+    old = os.stat(got1).st_mtime - 7200
+    os.utime(_P(got1).parent, (old, old))
+    assert _localize("memory://rekey/epoch_1") == got2
     assert not os.path.exists(got1)
     # ... while other URIs' entries are untouched
     fs.pipe("/rekey/epoch_2/meta.json", b'{"epoch": 2}')

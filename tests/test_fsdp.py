@@ -155,6 +155,69 @@ def test_fsdp_state_actually_shards():
     assert DATA_AXIS in spec_of(state.params)
 
 
+def test_fsdp_tp_composition_matches_dp_step():
+    """--fsdp on a 2-D (dp, tp) mesh: the composed placement
+    (fsdp_tp_spec — Megatron over 'model', ZeRO-3 over 'data' on the
+    free dims) trains to the same loss/params as the 1-D shard_map DP
+    step, and at least one leaf is genuinely sharded over BOTH axes."""
+    from cosmos_tpu.parallel.tp import MODEL_AXIS, create_tp_mesh
+    from cosmos_tpu.training.scheduler import cosine_lr
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state,
+        create_train_state_fsdp,
+        make_train_step,
+        make_train_step_gspmd,
+    )
+
+    model, params = _tiny_cosmos_model()
+    lr = cosine_lr(1e-3, 2, 10)
+    cfg = TrainStepConfig(cosmos=True, lr_schedule=lr)
+    batch = _cosmos_batch(8)
+
+    mesh1 = create_mesh(8)
+    opt = create_optimizer(lr, weight_decay=0.1)
+    step1 = make_train_step(model, opt, mesh1, cfg)
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), opt, mesh1)
+    s1, m1 = step1(s1, shard_batch(batch, mesh1, batch_axis=1))
+
+    mesh2 = create_tp_mesh(4, 2)
+    opt2 = create_optimizer(lr, weight_decay=0.1)
+    step2 = make_train_step_gspmd(model, opt2, mesh2, cfg)
+    s2 = create_train_state_fsdp(jax.tree.map(jnp.copy, params), opt2,
+                                 mesh2, min_size=0)
+    s2, m2 = step2(s2, shard_batch(batch, mesh2, batch_axis=1))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    got = np.asarray(jax.device_get(
+        s2.params["visual"]["transformer"]["resblocks_0"]["mlp"]
+        ["c_fc"]["kernel"]))
+    want = np.asarray(jax.device_get(
+        s1.params["visual"]["transformer"]["resblocks_0"]["mlp"]
+        ["c_fc"]["kernel"]))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    # composition is real: the c_fc kernel is column-parallel over
+    # 'model' AND ZeRO-sharded over 'data', in params, teacher and mu
+    def spec_of(tree):
+        return (tree["visual"]["transformer"]["resblocks_0"]["mlp"]
+                ["c_fc"]["kernel"].sharding.spec)
+
+    for tree in (s2.params, s2.teacher_params):
+        sp = spec_of(tree)
+        assert MODEL_AXIS in sp and DATA_AXIS in sp, sp
+    mu = s2.opt_state[0].mu if hasattr(s2.opt_state[0], "mu") else None
+    if mu is not None:
+        sp = spec_of(mu)
+        assert MODEL_AXIS in sp and DATA_AXIS in sp, sp
+    # a shard holds 1/8 of the leaf (4-way data x 2-way model)
+    leaf = (s2.params["visual"]["transformer"]["resblocks_0"]["mlp"]
+            ["c_fc"]["kernel"])
+    assert {s.data.size for s in leaf.addressable_shards} == {leaf.size // 8}
+
+
 def test_fsdp_shardings_cover_real_vit_geometry():
     """At real ViT-B-16 shapes every matmul weight shards (all dims are
     multiples of 8) — nothing big silently replicates."""

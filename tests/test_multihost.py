@@ -94,8 +94,10 @@ print(f"PROC{proc_id} OK loss={loss:.5f}")
 """
 
 
-@pytest.mark.timeout(600)
 def test_two_process_distributed_train_and_eval(tmp_path):
+    # no @pytest.mark.timeout: pytest-timeout isn't a dependency, so the
+    # mark would be silently inert — the deadlock guard is the bounded
+    # communicate() below plus the kill-on-timeout cleanup.
     import socket
 
     with socket.socket() as s:
@@ -119,9 +121,19 @@ def test_two_process_distributed_train_and_eval(tmp_path):
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        # deadlock watchdog: kill BOTH workers (a hung collective leaves
+        # both blocked) so the suite fails fast instead of leaking
+        # processes that hold the distributed port
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        pytest.fail("2-process distributed test deadlocked (540s)")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
         assert f"PROC{i} OK" in out, out[-2000:]
