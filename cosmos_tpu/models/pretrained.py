@@ -117,6 +117,39 @@ for _name, _tags in (
     }
 
 
+# EVA02-CLIP releases (reference pretrained.py:372-383): HF-hub hosted
+# open_clip_pytorch_model.bin; the native EVA02 trunk + converter
+# (models/timm_model.py convert paths) load them.  OpenAI preprocess.
+for _name, _tag, _repo in (
+    ("EVA02-B-16", "merged2b_s8b_b131k",
+     "timm/eva02_base_patch16_clip_224.merged2b_s8b_b131k"),
+    ("EVA02-L-14", "merged2b_s4b_b131k",
+     "timm/eva02_large_patch14_clip_224.merged2b_s4b_b131k"),
+):
+    _PRETRAINED.setdefault(_name, {})[_tag] = {
+        "hf_repo": _repo,
+        "hf_filename": "open_clip_pytorch_model.bin",
+        "mean": (0.48145466, 0.4578275, 0.40821073),
+        "std": (0.26862954, 0.26130258, 0.27577711),
+    }
+
+# SigLIP webli releases (reference pretrained.py:393-404): _slpcfg
+# preprocessing (Inception mean/std, squash resize); load_checkpoint
+# routes the big_vision npz through convert.convert_big_vision_siglip,
+# torch .bin state dicts through the standard converter.
+for _name, _repo in (
+    ("ViT-B-16-SigLIP", "timm/ViT-B-16-SigLIP"),
+):
+    _PRETRAINED.setdefault(_name, {})["webli"] = {
+        "hf_repo": _repo,
+        "hf_filename": "open_clip_pytorch_model.bin",
+        "mean": (0.5, 0.5, 0.5),
+        "std": (0.5, 0.5, 0.5),
+        "interpolation": "bicubic",
+        "resize_mode": "squash",
+    }
+
+
 def list_pretrained() -> List[str]:
     return [
         f"{model}:{tag}" for model, tags in _PRETRAINED.items() for tag in tags
