@@ -146,12 +146,21 @@ def _stabilize_mosaic_cache_key() -> None:
         try:
             # in place: this module exists to be serialized right here,
             # and its locations feed diagnostics only
-            with module.context:
-                _pm.PassManager.parse(
-                    "builtin.module(strip-debuginfo)").run(module.operation)
+            strip_module_locations(module)
         except Exception:   # diagnostics-only path: never block lowering
             pass
         return _orig(module, **kw)
 
+    _stripped.__wrapped__ = _orig
     _tcc._lower_mosaic_module_to_asm = _stripped
     _MOSAIC_KEY_PATCHED = True
+
+
+def strip_module_locations(module) -> None:
+    """Run MLIR's strip-debuginfo pass on ``module`` in place, removing
+    every ``loc()`` (file paths, line numbers, call stacks)."""
+    from jax._src.lib.mlir import passmanager as _pm
+
+    with module.context:
+        _pm.PassManager.parse(
+            "builtin.module(strip-debuginfo)").run(module.operation)

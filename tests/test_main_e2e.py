@@ -98,11 +98,39 @@ def test_train_fsdp(tmp_path):
     assert os.path.isdir(os.path.join(ckpt_dir, "epoch_2"))
 
 
-def test_fsdp_rejects_tp_mesh(tmp_path):
+def test_train_fsdp_tp_composed(tmp_path):
+    """--fsdp --mesh-shape dp,tp (round 5): the composed placement
+    (fsdp_tp_spec) trains end-to-end through main.py on a (4,2) mesh."""
     logs = str(tmp_path / "logs")
     args = BASE_ARGS + [
         "--logs-dir", logs, "--name", "fsdp-tp", "--epochs", "1",
-        "--fsdp", "--mesh-shape", "4,2",
+        "--save-frequency", "1", "--fsdp", "--mesh-shape", "4,2",
     ]
-    with pytest.raises(ValueError, match="1-D data mesh"):
+    m = main(args)
+    assert np.isfinite(m["train_loss"])
+    assert os.path.isdir(os.path.join(
+        logs, "fsdp-tp", "checkpoints", "epoch_1"))
+
+
+def test_train_multislice(tmp_path):
+    """--num-slices 2 factors the data mesh ('slice','data') and runs
+    the hierarchical gather end-to-end; --gather-scope slice trains with
+    slice-local negatives."""
+    logs = str(tmp_path / "logs")
+    for name, scope in (("ms-global", "global"), ("ms-slice", "slice")):
+        args = BASE_ARGS + [
+            "--logs-dir", logs, "--name", name, "--epochs", "1",
+            "--num-slices", "2", "--gather-scope", scope,
+        ]
+        m = main(args)
+        assert np.isfinite(m["train_loss"])
+
+
+def test_multislice_rejects_tp_mesh(tmp_path):
+    logs = str(tmp_path / "logs")
+    args = BASE_ARGS + [
+        "--logs-dir", logs, "--name", "ms-tp", "--epochs", "1",
+        "--num-slices", "2", "--mesh-shape", "4,2",
+    ]
+    with pytest.raises(ValueError, match="num-slices"):
         main(args)
