@@ -61,21 +61,90 @@ def _peak_tflops(device) -> float | None:
     return None
 
 
-def _step_flops(step_fn, state, batch) -> float | None:
+def _step_flops(step, state, batch) -> float | None:
     """Per-device FLOPs of one compiled train step, from XLA itself
-    (jit(...).lower().compile().cost_analysis(); the Pallas attention
-    kernels contribute through their CostEstimate).  The roofline
-    evidence behind the headline img/s — see README 'perf campaign'."""
+    (cost_analysis(); the Pallas attention kernels contribute through
+    their CostEstimate).  The roofline evidence behind the headline
+    img/s — see README 'perf campaign'.  Accepts a jitted function or
+    an already-compiled (AOT) executable."""
     import sys
 
     try:
-        ca = step_fn.lower(state, batch).compile().cost_analysis()
+        if hasattr(step, "lower"):          # jitted function
+            ca = step.lower(state, batch).compile().cost_analysis()
+        else:                               # jax.stages.Compiled
+            ca = step.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         return float(ca.get("flops", 0.0))
     except Exception as e:  # cost analysis is best-effort on new backends
         print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
         return None
+
+
+def _aot_executable(step_fn, state, batch):
+    """(callable, save_or_None): load a pickled serialized executable for
+    this exact (config, shapes, backend), or AOT-compile now and hand
+    back a post-warmup saver.
+
+    The persistent compile cache already makes the XLA compile
+    once-per-machine; this additionally skips the ~40s of per-process
+    tracing/lowering/key-hashing.  Keyed by the flattened input avals +
+    jax version + device kind + device count, so any config change
+    recompiles; every failure path falls back to the ordinary jit call.
+    """
+    import hashlib
+    import os
+    import pickle
+    import sys
+
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    args_flat, _ = jax.tree_util.tree_flatten(((state, batch), {}))
+    avals = ",".join(f"{x.dtype}{x.shape}" for x in args_flat)
+    dev = jax.devices()[0]
+    tag = hashlib.sha1("|".join([
+        jax.__version__, getattr(dev, "device_kind", ""),
+        str(jax.device_count()), avals,
+    ]).encode()).hexdigest()[:16]
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if not cache_dir:
+        return step_fn, None
+    path = os.path.join(cache_dir, f"bench_aot_{tag}.pkl")
+
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                blob = pickle.load(f)
+            compiled = se.deserialize_and_load(
+                blob["payload"], blob["in_tree"], blob["out_tree"])
+            print("AOT executable loaded (skipping trace+lower)",
+                  file=sys.stderr)
+            return compiled, None
+        except Exception as e:
+            print(f"AOT load failed ({e!r}); recompiling", file=sys.stderr)
+
+    try:
+        compiled = step_fn.lower(state, batch).compile()
+    except Exception as e:
+        print(f"AOT compile failed ({e!r}); plain jit call", file=sys.stderr)
+        return step_fn, None
+
+    def save():
+        try:
+            payload, in_tree, out_tree = se.serialize(compiled)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump({"payload": payload, "in_tree": in_tree,
+                             "out_tree": out_tree}, f)
+            os.replace(tmp, path)
+            print(f"AOT executable saved "
+                  f"({os.path.getsize(path) / 1e6:.0f} MB)", file=sys.stderr)
+        except Exception as e:
+            print(f"AOT save failed ({e!r})", file=sys.stderr)
+
+    return compiled, save
 
 
 def main() -> None:
@@ -213,17 +282,29 @@ def main() -> None:
     # block_until_ready) is what forces completion through the PJRT
     # relay in this environment; the sequential state dependency chains
     # every step into the final loss value.
+    #
+    # AOT fast path: the persistent compile cache already skips the XLA
+    # compile, but every process still pays ~40s tracing+lowering the
+    # step and recomputing the cache key.  A pickled serialized
+    # executable (jax.experimental.serialize_executable) skips all of
+    # that: warm runs deserialize the binary and call it.  Keyed by the
+    # full bench config + jax version + device kind; any failure falls
+    # back to the ordinary jit call (which the persistent cache still
+    # protects).
     t_compile = time.perf_counter()
+    step_call, aot_save = _aot_executable(step_fn, state, next_batch(0))
     for i in range(3):
-        state, metrics = step_fn(state, next_batch(i))
+        state, metrics = step_call(state, next_batch(i))
     float(metrics["loss"])
     print(f"warmup(3 steps incl compile): {time.perf_counter()-t_compile:.1f}s",
           file=sys.stderr)
+    if aot_save is not None:
+        aot_save()   # persist AFTER warmup so it never inflates the metric
 
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step_fn(state, next_batch(i))
+        state, metrics = step_call(state, next_batch(i))
     float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
 
@@ -231,7 +312,7 @@ def main() -> None:
 
     # roofline accounting: achieved TFLOP/s and MFU from the COMPILED
     # step's own cost analysis (per-device SPMD module = per-chip FLOPs)
-    flops = _step_flops(step_fn, state, next_batch(0))
+    flops = _step_flops(step_call, state, next_batch(0))
     peak = _peak_tflops(jax.devices()[0])
     achieved = round(flops / dt / 1e12, 1) if flops else None
     mfu = (round(flops / dt / (peak * 1e12), 3)
