@@ -193,7 +193,7 @@ def _views_t(x, v):
 
 
 def _torch_train(model: TorchCosmos, teacher: TorchCosmos, batches, lrs,
-                 *, wd=0.5, momentum=0.999):
+                 *, wd=0.5, momentum=0.999, clip=None, momentum_fn=None):
     """The reference COSMOS trainer loop, minimally (train.py:104-243)."""
     gain_or_bias, rest = [], []
     for n, p in model.named_parameters():
@@ -238,10 +238,14 @@ def _torch_train(model: TorchCosmos, teacher: TorchCosmos, batches, lrs,
         total = cosmos_loss + clip_loss
         total.backward()
 
-        # EMA from PRE-update student params (train.py:195-203)
+        # EMA from PRE-update student params (train.py:195-203);
+        # per-step teacher momentum when scheduled (main.py:469-470)
+        m = momentum if momentum_fn is None else float(momentum_fn(step))
         with torch.no_grad():
             for ps, pt in zip(model.parameters(), teacher.parameters()):
-                pt.mul_(momentum).add_((1.0 - momentum) * ps)
+                pt.mul_(m).add_((1.0 - m) * ps)
+        if clip is not None:
+            torch.nn.utils.clip_grad_norm_(model.parameters(), clip)
         opt.step()
         # clamp both scales (train.py:237-243)
         with torch.no_grad():
@@ -333,3 +337,84 @@ def test_cosmos_train_dynamics_match_torch():
         ["mlp"]["c_fc"]["kernel"]))
     want_t = teacher.visual.blocks[0].mlp[0].weight.detach().numpy().T
     np.testing.assert_allclose(got_t, want_t, atol=5e-4)
+
+
+def test_dynamics_with_clipping_and_momentum_schedule():
+    """Same oracle with the two remaining step-level knobs engaged:
+    --grad-clip-norm (optax clip_by_global_norm vs torch
+    clip_grad_norm_, applied to the same pre-optimizer grads) and the
+    COSMOS teacher-momentum cosine schedule (--fix-momentum off;
+    reference main.py:469-470 cosine_scheduler -> 1.0)."""
+    from cosmos_tpu.training.scheduler import cosine_lr, cosine_scheduler
+    from cosmos_tpu.training.train import (
+        TrainStepConfig,
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    torch.manual_seed(0)
+    model, params = create_model(
+        "ViT-B-16", cosmos=True, output_all=True, attentional_pool=True,
+        add_zero_attn=True, **TINY)
+    sd = params_to_torch_state_dict(params)
+    tm = TorchCosmos()
+    _load_cosmos(tm, sd)
+    teacher = TorchCosmos()
+    _load_cosmos(teacher, sd)
+    for p in teacher.parameters():
+        p.requires_grad_(False)
+
+    rng = np.random.default_rng(11)
+    batches = []
+    for _ in range(4):
+        batches.append((
+            rng.normal(size=(2, B, 32, 32, 3)).astype(np.float32),
+            rng.normal(size=(2, B, 32, 32, 3)).astype(np.float32),
+            rng.integers(1, 127, size=(3, B, 12)).astype(np.int64)))
+
+    lr_fn = cosine_lr(2e-3, 1, 16)
+    lrs = [float(lr_fn(s)) for s in range(4)]
+    mom_fn = cosine_scheduler(0.996, 1.0, 0, 16)
+    # clip threshold low enough to ENGAGE (tiny-model grad norms ~O(1))
+    clip = 0.05
+
+    torch_losses = _torch_train(
+        tm, teacher,
+        [(torch.from_numpy(g), torch.from_numpy(l), torch.from_numpy(t))
+         for g, l, t in batches],
+        lrs, clip=clip, momentum_fn=mom_fn)
+
+    mesh = create_mesh(8)
+    opt = create_optimizer(lr_fn, beta1=0.9, beta2=0.98, eps=1e-6,
+                           weight_decay=0.5, grad_clip_norm=clip)
+    cfg = TrainStepConfig(cosmos=True, lr_schedule=lr_fn,
+                          momentum_schedule=mom_fn, fix_momentum=False)
+    step = make_train_step(model, opt, mesh, cfg)
+    state = create_train_state(params, opt, mesh)
+    jax_losses = []
+    for g, loc, txt in batches:
+        batch = shard_batch(
+            {"global_images": g, "local_images": loc,
+             "texts": txt.astype(np.int32)}, mesh, batch_axis=1)
+        state, metrics = step(state, batch)
+        jax_losses.append(float(metrics["loss"]))
+
+    for s, (tl, jl) in enumerate(zip(torch_losses, jax_losses)):
+        assert abs(tl - jl) < 1e-3 * (s + 1), (
+            f"step {s}: torch {tl:.6f} vs jax {jl:.6f} "
+            f"(full: {torch_losses} vs {jax_losses})")
+    # the clip genuinely engaged: re-run torch WITHOUT it and see a
+    # different trajectory from step 1 on
+    tm2 = TorchCosmos()
+    _load_cosmos(tm2, sd)
+    teacher2 = TorchCosmos()
+    _load_cosmos(teacher2, sd)
+    for p in teacher2.parameters():
+        p.requires_grad_(False)
+    unclipped = _torch_train(
+        tm2, teacher2,
+        [(torch.from_numpy(g), torch.from_numpy(l), torch.from_numpy(t))
+         for g, l, t in batches],
+        lrs, momentum_fn=mom_fn)
+    assert abs(unclipped[-1] - torch_losses[-1]) > 1e-3
