@@ -104,9 +104,14 @@ def _aot_executable(step_fn, state, batch):
     args_flat, _ = jax.tree_util.tree_flatten(((state, batch), {}))
     avals = ",".join(f"{x.dtype}{x.shape}" for x in args_flat)
     dev = jax.devices()[0]
+    # BENCH_TEXT_BUCKET changes the PROGRAM but not the input avals —
+    # it must be part of the key or toggling it would reuse the wrong
+    # executable (program-affecting knobs only; shape knobs like
+    # BENCH_BATCH are already covered by avals)
+    knobs = os.environ.get("BENCH_TEXT_BUCKET", "32")
     tag = hashlib.sha1("|".join([
         jax.__version__, getattr(dev, "device_kind", ""),
-        str(jax.device_count()), avals,
+        str(jax.device_count()), avals, knobs,
     ]).encode()).hexdigest()[:16]
     cache_dir = jax.config.jax_compilation_cache_dir
     if not cache_dir:
