@@ -107,11 +107,24 @@ def _aot_executable(step_fn, state, batch):
     # BENCH_TEXT_BUCKET changes the PROGRAM but not the input avals —
     # it must be part of the key or toggling it would reuse the wrong
     # executable (program-affecting knobs only; shape knobs like
-    # BENCH_BATCH are already covered by avals)
+    # BENCH_BATCH are already covered by avals).  So does ANY source
+    # edit: the avals can't see the program, so the key folds in a
+    # content hash of bench.py + the cosmos_tpu tree — an edited model
+    # or train step auto-invalidates instead of silently benchmarking
+    # the stale binary.
     knobs = os.environ.get("BENCH_TEXT_BUCKET", "32")
+    src = hashlib.sha1()
+    repo = os.path.dirname(os.path.abspath(__file__))
+    files = [os.path.join(repo, "bench.py")]
+    for root, _, names in sorted(os.walk(os.path.join(repo, "cosmos_tpu"))):
+        files += [os.path.join(root, n) for n in sorted(names)
+                  if n.endswith(".py")]
+    for f in files:
+        with open(f, "rb") as fh:
+            src.update(fh.read())
     tag = hashlib.sha1("|".join([
         jax.__version__, getattr(dev, "device_kind", ""),
-        str(jax.device_count()), avals, knobs,
+        str(jax.device_count()), avals, knobs, src.hexdigest(),
     ]).encode()).hexdigest()[:16]
     cache_dir = jax.config.jax_compilation_cache_dir
     if not cache_dir:
@@ -144,6 +157,15 @@ def _aot_executable(step_fn, state, batch):
                 pickle.dump({"payload": payload, "in_tree": in_tree,
                              "out_tree": out_tree}, f)
             os.replace(tmp, path)
+            # superseded tags (old source/config) are dead weight at
+            # ~1.2 GB each — keep only the freshest few
+            import glob
+
+            kept = sorted(glob.glob(os.path.join(cache_dir,
+                                                 "bench_aot_*.pkl")),
+                          key=os.path.getmtime, reverse=True)
+            for stale in kept[3:]:
+                os.unlink(stale)
             print(f"AOT executable saved "
                   f"({os.path.getsize(path) / 1e6:.0f} MB)", file=sys.stderr)
         except Exception as e:
