@@ -103,11 +103,25 @@ class ConvNeXt(nn.Module):
     model_name: str
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    remat: bool = False                 # --grad-checkpointing
+    remat_policy: str = ""              # named jax.checkpoint policy
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
         g = CONVNEXT_CONFIGS[self.model_name]
         depths, dims = g["depths"], g["dims"]
+        block_cls = ConvNeXtBlock
+        if self.remat:
+            # per-block activation checkpointing (timm's
+            # set_grad_checkpointing analog; reference main.py:336-338)
+            import jax as _jax
+
+            policy = (
+                getattr(_jax.checkpoint_policies, self.remat_policy)
+                if self.remat_policy else None
+            )
+            block_cls = nn.remat(ConvNeXtBlock, prevent_cse=False,
+                                 policy=policy)
         x = x.astype(self.dtype)
         x = nn.Conv(
             dims[0], (4, 4), strides=(4, 4), padding="VALID",
@@ -127,7 +141,7 @@ class ConvNeXt(nn.Module):
                     dtype=self.dtype, name=f"down_conv_{s}",
                 )(x)
             for b in range(depth):
-                x = ConvNeXtBlock(
+                x = block_cls(
                     dim=dim, drop_path=float(rates[done + b]),
                     dtype=self.dtype, name=f"stages_{s}_blocks_{b}",
                 )(x)

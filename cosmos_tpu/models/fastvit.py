@@ -212,6 +212,8 @@ class FastVit(nn.Module):
 
     model_name: str
     dtype: Dtype = jnp.float32
+    remat: bool = False                 # --grad-checkpointing
+    remat_policy: str = ""              # named jax.checkpoint policy
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -240,6 +242,14 @@ class FastVit(nn.Module):
                           dtype=self.dtype)
             block = (RepMixerBlock if _TOKEN_MIXERS[s] == "repmixer"
                      else AttentionBlock)
+            if self.remat:
+                # per-block activation checkpointing (timm's
+                # set_grad_checkpointing analog)
+                policy = (
+                    getattr(jax.checkpoint_policies, self.remat_policy)
+                    if self.remat_policy else None
+                )
+                block = nn.remat(block, prevent_cse=False, policy=policy)
             for b in range(depth):
                 x = block(dim, dim * ratio, dtype=self.dtype,
                           name=f"net_{s}_blocks_{b}")(x)

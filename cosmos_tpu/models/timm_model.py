@@ -124,12 +124,6 @@ class TimmModel(nn.Module):
                 "pass timm_drop=0 (dropout-free heads match the released "
                 "CLIP configs, which train with drop=0)"
             )
-        if self.remat and self.model_name in CONVNEXT_CONFIGS:
-            raise NotImplementedError(
-                "--grad-checkpointing is not wired for ConvNeXt trunks — "
-                "failing loudly instead of silently training un-rematted "
-                "at a batch size chosen assuming it was on"
-            )
         if self.model_name in CONVNEXT_CONFIGS:
             if self.pool == "token":
                 raise ValueError(
@@ -141,6 +135,8 @@ class TimmModel(nn.Module):
                 model_name=self.model_name,
                 drop_path_rate=self.drop_path,
                 dtype=self.dtype,
+                remat=self.remat,
+                remat_policy=self.remat_policy,
                 name="trunk",
             )
             self._build_head()
@@ -154,16 +150,13 @@ class TimmModel(nn.Module):
                 raise NotImplementedError(
                     "timm_drop_path on a FastViT trunk is not wired; the "
                     "deploy-form trunk targets inference/fine-tune loads")
-            if self.remat:
-                raise NotImplementedError(
-                    "--grad-checkpointing is not wired for FastViT trunks "
-                    "— failing loudly instead of silently training "
-                    "un-rematted at a batch size chosen assuming it was on")
             from .fastvit import FastVit
 
             self.trunk = FastVit(
                 model_name=self.model_name,
                 dtype=self.dtype,
+                remat=self.remat,
+                remat_policy=self.remat_policy,
                 name="trunk",
             )
             self._build_head()

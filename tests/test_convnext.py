@@ -218,3 +218,31 @@ def test_convnext_tower_trains():
     state, metrics = step_fn(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_convnext_remat_matches_unrematted():
+    """--grad-checkpointing on a ConvNeXt trunk (round 5): rematted
+    forward AND gradients equal the plain trunk's — remat changes
+    memory, not math (timm set_grad_checkpointing analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosmos_tpu.models.convnext import ConvNeXt
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    plain = ConvNeXt(model_name="convnext_test")
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    remat = ConvNeXt(model_name="convnext_test", remat=True)
+
+    def loss(m, p):
+        pooled, _ = m.apply({"params": p}, x)
+        return jnp.sum(pooled ** 2)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    v2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-5),
+        g1, g2)

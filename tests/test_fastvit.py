@@ -474,3 +474,30 @@ def test_eval_transform_interpolation_plumbs():
     tf_bc = image_transform_eval(64, mean=(0.0, 0.0, 0.0),
                                  std=(1.0, 1.0, 1.0))
     assert not np.allclose(out, tf_bc(img))
+
+
+def test_fastvit_remat_matches_unrematted():
+    """--grad-checkpointing on a FastViT/MCi trunk (round 5): rematted
+    forward AND gradients equal the plain trunk's."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosmos_tpu.models.fastvit import FastVit
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    plain = FastVit(model_name="fastvit_test")
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    remat = FastVit(model_name="fastvit_test", remat=True)
+
+    def loss(m, p):
+        pooled, _ = m.apply({"params": p}, x)
+        return jnp.sum(pooled ** 2)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    v2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-5),
+        g1, g2)
