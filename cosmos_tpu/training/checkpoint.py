@@ -86,19 +86,25 @@ def save_checkpoint(
             "--remote-sync s3://... (resume FROM a remote path works — "
             "restore_checkpoint downloads it)"
         )
-    # Gather BEFORE the master gate: for FSDP states (leaves sharded over
-    # the global data axis) this is a collective every process joins; the
-    # filesystem writes below stay process-0-only.  main.py calls this
-    # from every process when --fsdp runs multi-host, master-only
-    # otherwise (replicated state needs no collective).
+    # Multi-process protocol: EVERY process must reach this function.
+    # Two collectives live inside it — host_state's allgather for
+    # cross-host-sharded leaves (FSDP/TP), and ORBAX'S OWN save barrier:
+    # StandardCheckpointer.save runs sync_global_processes
+    # ('save_start'/commit) in any multi-process runtime, so a
+    # master-only call would park process 0 in a barrier the others
+    # never join (found by tests/test_multihost_gspmd_ckpt.py — the
+    # failure is a hang in production, a barrier-name mismatch in the
+    # test).  Plain filesystem writes (meta, latest pointer, deletes)
+    # stay process-0-only.
     host = host_state(state)
     path = _ckpt_dir(checkpoint_path, epoch)
+    base = Path(checkpoint_path)
+    base.mkdir(parents=True, exist_ok=True)   # idempotent on a shared fs
+    if jax.process_index() == 0 or jax.process_count() > 1:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path.resolve(), host, force=True)
     if jax.process_index() != 0:
         return str(path)
-    base = Path(checkpoint_path)
-    base.mkdir(parents=True, exist_ok=True)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path.resolve(), host, force=True)
     meta = {"epoch": epoch, "name": name, "config": config or {}}
     (path / "meta.json").write_text(json.dumps(meta))
 

@@ -612,9 +612,12 @@ def main(argv=None) -> Dict:
         save_now = completed == args.epochs or (
             args.save_frequency and completed % args.save_frequency == 0
         )
-        # GSPMD multi-host: EVERY process calls save_checkpoint — the
-        # allgather inside is a collective; writes stay process-0-gated
-        if save_now and (is_master or gspmd_multihost):
+        # ANY multi-host run: EVERY process calls save_checkpoint.  Two
+        # collectives live inside it — host_state's allgather for
+        # cross-host-sharded (GSPMD) leaves AND Orbax's own save
+        # barrier, which engages whenever process_count > 1 regardless
+        # of sharding.  Plain writes stay process-0-gated inside.
+        if save_now and (is_master or process_count > 1):
             save_checkpoint(
                 state,
                 args.checkpoint_path,
