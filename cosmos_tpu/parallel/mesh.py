@@ -69,6 +69,34 @@ def init_distributed(
     return jax.process_index(), jax.process_count()
 
 
+def broadcast_object(obj, max_bytes: int = 1 << 16):
+    """Pickle-broadcast a small host object from process 0 (the
+    reference's broadcast_object, distributed.py:120-131).
+
+    Used where every process must agree on a host-side DECISION made
+    from filesystem state — e.g. which checkpoint '--resume latest'
+    picked: independent per-process discovery races a concurrent save
+    and silently restores different epochs on different hosts.
+    """
+    if jax.process_count() == 1:
+        return obj
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    data = pickle.dumps(obj) if jax.process_index() == 0 else b""
+    if len(data) > max_bytes:
+        raise ValueError(
+            f"broadcast_object payload {len(data)}B exceeds {max_bytes}B")
+    buf = np.zeros(max_bytes + 8, np.uint8)
+    if jax.process_index() == 0:
+        buf[:8] = np.frombuffer(len(data).to_bytes(8, "little"), np.uint8)
+        buf[8:8 + len(data)] = np.frombuffer(data, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int.from_bytes(bytes(out[:8]), "little")
+    return pickle.loads(bytes(out[8:8 + n]))
+
+
 def create_mesh(
     num_devices: Optional[int] = None,
     axis_names: Sequence[str] = (DATA_AXIS,),

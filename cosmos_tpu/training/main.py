@@ -445,7 +445,15 @@ def main(argv=None) -> Dict:
     start_epoch = 0
     resume = args.resume
     if resume == "latest":
-        resume = get_latest_checkpoint(args.checkpoint_path)
+        # discovery on process 0 ONLY, then broadcast (reference
+        # main.py:150-188): independent per-process discovery races a
+        # concurrent save and can restore different epochs per host
+        from cosmos_tpu.parallel.mesh import broadcast_object
+
+        resume = broadcast_object(
+            get_latest_checkpoint(args.checkpoint_path)
+            if process_index == 0 else None
+        )
         logger.info(f"resume latest -> {resume}")
     if resume:
         # saved meta 'epoch' is the COMPLETED-epoch count (main.py:551),

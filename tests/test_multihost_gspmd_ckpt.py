@@ -111,6 +111,14 @@ assert os.path.isdir(p1)
 restored1, ep1 = restore_checkpoint(state1, p1)
 assert ep1 == 1
 
+# --- resume-latest discovery broadcasts from process 0 ---------------
+from cosmos_tpu.parallel.mesh import broadcast_object
+from cosmos_tpu.training.checkpoint import get_latest_checkpoint
+
+latest = broadcast_object(
+    get_latest_checkpoint(ckpt_dir) if jax.process_index() == 0 else None)
+assert latest is not None and latest.endswith("epoch_1"), latest
+
 print(f"PROC{proc_id} OK loss={loss:.5f}")
 """
 
