@@ -100,9 +100,10 @@ def save_checkpoint(
     path = _ckpt_dir(checkpoint_path, epoch)
     base = Path(checkpoint_path)
     base.mkdir(parents=True, exist_ok=True)   # idempotent on a shared fs
-    if jax.process_index() == 0 or jax.process_count() > 1:
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path.resolve(), host, force=True)
+    # every process: single-process trivially, multi-process because the
+    # save itself is the collective (Orbax writes on the primary only)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path.resolve(), host, force=True)
     if jax.process_index() != 0:
         return str(path)
     meta = {"epoch": epoch, "name": name, "config": config or {}}
